@@ -1,0 +1,289 @@
+"""SAM mask decoder + TwoWayTransformer, TPU-native.
+
+Parity targets:
+- TwoWayTransformer (reference: lib/sam_model/transformer.py:16-106): depth-2
+  stack of {token self-attn, token->image cross-attn, token MLP,
+  image->token cross-attn}, attention_downsample_rate=2 halves the internal
+  dim of cross-attention, plus a final token->image attention + LN.
+- MaskDecoder (reference: lib/sam_model/mask_decoder.py:16-142): tokens =
+  [iou_token ; mask_tokens(4) ; sparse prompts], transformer against
+  image embedding + dense prompt, 4x upscale via two stride-2 transposed convs
+  (256->64->32 ch), per-mask-token hypernetwork MLPs to 32-d weights, masks =
+  hyper_in @ upscaled (channel dot product), IoU-quality MLP head.
+
+TPU-first deltas:
+- NHWC layout; the 2x2/stride-2 transposed convs are expressed as einsum +
+  pixel-shuffle reshape (exact same math, avoids conv_transpose lowering and
+  keeps everything on the MXU).
+- `multimask` best-mask selection stays inside the compiled graph via
+  take_along_axis (reference does it in the top model, sam_with_sup_branch.py:96-100).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cor_tpu.ops.attention import attention_qkv, init_attention_qkv
+from cor_tpu.ops.common import (
+    Params,
+    _torch_uniform,
+    dense,
+    init_dense,
+    init_layer_norm,
+    init_mlp_block,
+    init_mlp_stack,
+    layer_norm,
+    mlp_block,
+    mlp_stack,
+    gelu,
+)
+
+
+@dataclass(frozen=True)
+class TwoWayTransformerConfig:
+    depth: int = 2
+    embedding_dim: int = 256
+    num_heads: int = 8
+    mlp_dim: int = 2048
+    attention_downsample_rate: int = 2
+
+
+@dataclass(frozen=True)
+class MaskDecoderConfig:
+    transformer_dim: int = 256
+    num_multimask_outputs: int = 3
+    iou_head_depth: int = 3
+    iou_head_hidden_dim: int = 256
+    transformer: TwoWayTransformerConfig = TwoWayTransformerConfig()
+
+    @property
+    def num_mask_tokens(self) -> int:
+        return self.num_multimask_outputs + 1
+
+
+# ---------------------------------------------------------------------------
+# TwoWayTransformer
+# ---------------------------------------------------------------------------
+
+
+def init_two_way_transformer(key: jax.Array, cfg: TwoWayTransformerConfig) -> Params:
+    keys = jax.random.split(key, cfg.depth + 1)
+    layers = []
+    for i in range(cfg.depth):
+        k = jax.random.split(keys[i], 4)
+        layers.append(
+            {
+                "self_attn": init_attention_qkv(k[0], cfg.embedding_dim, cfg.num_heads),
+                "norm1": init_layer_norm(cfg.embedding_dim),
+                "cross_attn_t2i": init_attention_qkv(
+                    k[1], cfg.embedding_dim, cfg.num_heads, cfg.attention_downsample_rate
+                ),
+                "norm2": init_layer_norm(cfg.embedding_dim),
+                "mlp": init_mlp_block(k[2], cfg.embedding_dim, cfg.mlp_dim),
+                "norm3": init_layer_norm(cfg.embedding_dim),
+                "norm4": init_layer_norm(cfg.embedding_dim),
+                "cross_attn_i2t": init_attention_qkv(
+                    k[3], cfg.embedding_dim, cfg.num_heads, cfg.attention_downsample_rate
+                ),
+            }
+        )
+    kf = keys[-1]
+    return {
+        "layers": layers,
+        "final_attn_t2i": init_attention_qkv(
+            kf, cfg.embedding_dim, cfg.num_heads, cfg.attention_downsample_rate
+        ),
+        "norm_final": init_layer_norm(cfg.embedding_dim),
+    }
+
+
+def _two_way_block(
+    lp: Params,
+    queries: jax.Array,
+    keys: jax.Array,
+    query_pe: jax.Array,
+    key_pe: jax.Array,
+    num_heads: int,
+    skip_first_layer_pe: bool,
+    ln_eps: float = 1e-5,
+) -> Tuple[jax.Array, jax.Array]:
+    # token self-attention (reference: transformer.py:154-161)
+    if skip_first_layer_pe:
+        queries = attention_qkv(lp["self_attn"], queries, queries, queries, num_heads)
+    else:
+        q = queries + query_pe
+        queries = queries + attention_qkv(lp["self_attn"], q, q, queries, num_heads)
+    queries = layer_norm(lp["norm1"], queries, eps=ln_eps)
+
+    # token -> image cross-attention
+    q = queries + query_pe
+    k = keys + key_pe
+    queries = queries + attention_qkv(lp["cross_attn_t2i"], q, k, keys, num_heads)
+    queries = layer_norm(lp["norm2"], queries, eps=ln_eps)
+
+    # token MLP (ReLU — reference transformer uses activation=nn.ReLU default)
+    queries = queries + mlp_block(lp["mlp"], queries, act=jax.nn.relu)
+    queries = layer_norm(lp["norm3"], queries, eps=ln_eps)
+
+    # image -> token cross-attention
+    q = queries + query_pe
+    k = keys + key_pe
+    keys = keys + attention_qkv(lp["cross_attn_i2t"], k, q, queries, num_heads)
+    keys = layer_norm(lp["norm4"], keys, eps=ln_eps)
+    return queries, keys
+
+
+def two_way_transformer(
+    p: Params,
+    image_embedding: jax.Array,  # [B, H, W, C] NHWC
+    image_pe: jax.Array,  # [B or 1, H, W, C]
+    point_embedding: jax.Array,  # [B, N_tokens, C]
+    cfg: TwoWayTransformerConfig,
+) -> Tuple[jax.Array, jax.Array]:
+    B, H, W, C = image_embedding.shape
+    keys = image_embedding.reshape(B, H * W, C)
+    key_pe = jnp.broadcast_to(
+        image_pe.reshape(image_pe.shape[0], H * W, C), (B, H * W, C)
+    ).astype(keys.dtype)
+
+    queries = point_embedding
+    query_pe = point_embedding
+
+    for i, lp in enumerate(p["layers"]):
+        queries, keys = _two_way_block(
+            lp, queries, keys, query_pe, key_pe, cfg.num_heads, skip_first_layer_pe=(i == 0)
+        )
+
+    q = queries + query_pe
+    k = keys + key_pe
+    queries = queries + attention_qkv(p["final_attn_t2i"], q, k, keys, cfg.num_heads)
+    queries = layer_norm(p["norm_final"], queries, eps=1e-5)
+    return queries, keys
+
+
+# ---------------------------------------------------------------------------
+# MaskDecoder
+# ---------------------------------------------------------------------------
+
+
+def init_mask_decoder(key: jax.Array, cfg: MaskDecoderConfig) -> Params:
+    d = cfg.transformer_dim
+    nmt = cfg.num_mask_tokens
+    keys = jax.random.split(key, 6 + nmt)
+
+    # embeddings: torch nn.Embedding default init = N(0, 1)
+    iou_token = jax.random.normal(keys[0], (1, d), jnp.float32)
+    mask_tokens = jax.random.normal(keys[1], (nmt, d), jnp.float32)
+
+    # upscaling transposed convs as einsum kernels [C_in, 2, 2, C_out];
+    # torch ConvTranspose2d init: U(+-1/sqrt(fan_in)), fan_in = C_in * kh * kw
+    k_up1, k_up1b = jax.random.split(keys[2])
+    k_up2, k_up2b = jax.random.split(keys[3])
+    up1_fan = d * 2 * 2
+    up2_fan = (d // 4) * 2 * 2
+    upscale = {
+        "convt1": {
+            "w": _torch_uniform(k_up1, (d, 2, 2, d // 4), up1_fan),
+            "b": _torch_uniform(k_up1b, (d // 4,), up1_fan),
+        },
+        "ln": init_layer_norm(d // 4),
+        "convt2": {
+            "w": _torch_uniform(k_up2, (d // 4, 2, 2, d // 8), up2_fan),
+            "b": _torch_uniform(k_up2b, (d // 8,), up2_fan),
+        },
+    }
+
+    hyper = [
+        init_mlp_stack(keys[4 + i], d, d, d // 8, 3) for i in range(nmt)
+    ]
+    return {
+        "iou_token": iou_token,
+        "mask_tokens": mask_tokens,
+        "transformer": init_two_way_transformer(keys[-2], cfg.transformer),
+        "output_upscaling": upscale,
+        "output_hypernetworks_mlps": hyper,
+        "iou_prediction_head": init_mlp_stack(
+            keys[-1], d, cfg.iou_head_hidden_dim, nmt, cfg.iou_head_depth
+        ),
+    }
+
+
+def _conv_transpose_2x(p: Params, x: jax.Array) -> jax.Array:
+    """2x2/stride-2 transposed conv as einsum + pixel shuffle.
+
+    out[b, 2i+di, 2j+dj, o] = sum_c x[b, i, j, c] * w[c, di, dj, o] + bias.
+    Exact ConvTranspose2d(kernel=2, stride=2) semantics (non-overlapping).
+    """
+    B, H, W, C = x.shape
+    w = p["w"].astype(x.dtype)  # [C, 2, 2, O]
+    O = w.shape[-1]
+    y = jnp.einsum("bhwc,cpqo->bhpwqo", x, w, preferred_element_type=jnp.float32)
+    y = y.reshape(B, H * 2, W * 2, O) + p["b"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def mask_decoder(
+    p: Params,
+    image_embeddings: jax.Array,  # [B, H, W, C]
+    image_pe: jax.Array,  # [1, H, W, C]
+    sparse_prompt_embeddings: jax.Array,  # [B, N_s, C]
+    dense_prompt_embeddings: jax.Array,  # [B, H, W, C]
+    cfg: MaskDecoderConfig,
+    multimask_output: bool,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Returns (masks [B, n_out, 4H, 4W], iou_pred [B, n_out], src [B, HW, C])."""
+    B, H, W, C = image_embeddings.shape
+    nmt = cfg.num_mask_tokens
+
+    output_tokens = jnp.concatenate(
+        [p["iou_token"], p["mask_tokens"]], axis=0
+    ).astype(image_embeddings.dtype)
+    output_tokens = jnp.broadcast_to(output_tokens[None], (B, 1 + nmt, C))
+    tokens = jnp.concatenate([output_tokens, sparse_prompt_embeddings], axis=1)
+
+    src = image_embeddings + dense_prompt_embeddings
+
+    hs, src_seq = two_way_transformer(
+        p["transformer"], src, image_pe, tokens, cfg.transformer
+    )
+    iou_token_out = hs[:, 0, :]
+    mask_tokens_out = hs[:, 1 : 1 + nmt, :]  # [B, nmt, C]
+
+    # upscale 4x: [B, H, W, C] -> [B, 4H, 4W, C//8]
+    src_grid = src_seq.reshape(B, H, W, C)
+    up = p["output_upscaling"]
+    x = _conv_transpose_2x(up["convt1"], src_grid)
+    x = layer_norm(up["ln"], x, eps=1e-6)
+    x = gelu(x)
+    x = _conv_transpose_2x(up["convt2"], x)
+    upscaled = gelu(x)  # [B, 4H, 4W, C//8]
+
+    # hypernetwork: per-mask-token 3-layer ReLU MLP -> [B, nmt, C//8]
+    hyper_in = jnp.stack(
+        [
+            mlp_stack(mp, mask_tokens_out[:, i, :])
+            for i, mp in enumerate(p["output_hypernetworks_mlps"])
+        ],
+        axis=1,
+    )
+    h4, w4, c8 = upscaled.shape[1], upscaled.shape[2], upscaled.shape[3]
+    masks = jnp.einsum(
+        "bnc,bhwc->bnhw",
+        hyper_in,
+        upscaled,
+        preferred_element_type=jnp.float32,
+    ).astype(image_embeddings.dtype)  # [B, nmt, 4H, 4W]
+
+    iou_pred = mlp_stack(p["iou_prediction_head"], iou_token_out)  # [B, nmt]
+
+    if multimask_output:
+        masks = masks[:, 1:, :, :]
+        iou_pred = iou_pred[:, 1:]
+    else:
+        masks = masks[:, 0:1, :, :]
+        iou_pred = iou_pred[:, 0:1]
+    return masks, iou_pred, src_seq

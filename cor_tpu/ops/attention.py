@@ -1,0 +1,236 @@
+"""Attention primitives: window partitioning, decomposed relative-position
+bias, and multi-head attention for the SAM-style ViT.
+
+Behavioral parity targets (reference: lib/sam_model/image_encoder.py):
+- window_partition/unpartition (:244-290) — pad to a window multiple, tile.
+- get_rel_pos (:293-323) — per-axis relative-position table lookup with
+  linear interpolation when the stored table length mismatches.
+- add_decomposed_rel_pos (:326-362) — MViTv2 decomposed bias
+  attn += einsum(q, Rh) + einsum(q, Rw).
+
+TPU-first design notes: tensors stay NHWC; all matmuls accumulate in fp32 on
+the MXU; the decomposed bias is added on 5-D views so XLA fuses the two
+broadcast adds into the attention logits without materializing extra copies.
+A Pallas flash-window-attention kernel (cor_tpu.ops.pallas.window_attn) can
+replace `attention_2d` for the hot path; this module is the reference-XLA
+implementation and the numerics oracle for that kernel.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cor_tpu.ops.common import Params, dense, init_dense
+
+
+# ---------------------------------------------------------------------------
+# window partitioning
+# ---------------------------------------------------------------------------
+
+
+def window_partition(x: jax.Array, window: int) -> Tuple[jax.Array, Tuple[int, int]]:
+    """[B, H, W, C] -> [B*nW, window, window, C] with zero padding."""
+    B, H, W, C = x.shape
+    pad_h = (window - H % window) % window
+    pad_w = (window - W % window) % window
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    Hp, Wp = H + pad_h, W + pad_w
+    x = x.reshape(B, Hp // window, window, Wp // window, window, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window, window, C)
+    return x, (Hp, Wp)
+
+
+def window_unpartition(
+    windows: jax.Array, window: int, pad_hw: Tuple[int, int], hw: Tuple[int, int]
+) -> jax.Array:
+    """Inverse of window_partition; crops the padding."""
+    Hp, Wp = pad_hw
+    H, W = hw
+    C = windows.shape[-1]
+    B = windows.shape[0] // ((Hp // window) * (Wp // window))
+    x = windows.reshape(B, Hp // window, Wp // window, window, window, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, C)
+    if Hp > H or Wp > W:
+        x = x[:, :H, :W, :]
+    return x
+
+
+# ---------------------------------------------------------------------------
+# decomposed relative position bias
+# ---------------------------------------------------------------------------
+
+
+def get_rel_pos(q_size: int, k_size: int, rel_pos: jax.Array) -> jax.Array:
+    """Slice/interp the (L, head_dim) table to the (q_size, k_size) grid."""
+    max_rel_dist = 2 * max(q_size, k_size) - 1
+    if rel_pos.shape[0] != max_rel_dist:
+        # linear interpolation along the table axis (torch F.interpolate parity)
+        rel_pos = jax.image.resize(
+            rel_pos.astype(jnp.float32),
+            (max_rel_dist, rel_pos.shape[1]),
+            method="linear",
+            antialias=False,
+        ).astype(rel_pos.dtype)
+    q_coords = jnp.arange(q_size)[:, None] * max(k_size / q_size, 1.0)
+    k_coords = jnp.arange(k_size)[None, :] * max(q_size / k_size, 1.0)
+    relative = (q_coords - k_coords) + (k_size - 1) * max(q_size / k_size, 1.0)
+    return rel_pos[relative.astype(jnp.int32)]  # [q, k, head_dim]
+
+
+def decomposed_rel_pos_bias(
+    q: jax.Array,
+    rel_pos_h: jax.Array,
+    rel_pos_w: jax.Array,
+    q_size: Tuple[int, int],
+    k_size: Tuple[int, int],
+) -> Tuple[jax.Array, jax.Array]:
+    """Return (rel_h [B, qh, qw, kh], rel_w [B, qh, qw, kw]) bias factors.
+
+    q: [B, qh*qw, head_dim]. Caller adds rel_h[..., :, None] + rel_w[..., None, :]
+    to the attention logits viewed as [B, qh, qw, kh, kw].
+    """
+    q_h, q_w = q_size
+    k_h, k_w = k_size
+    Rh = get_rel_pos(q_h, k_h, rel_pos_h).astype(q.dtype)
+    Rw = get_rel_pos(q_w, k_w, rel_pos_w).astype(q.dtype)
+    B = q.shape[0]
+    r_q = q.reshape(B, q_h, q_w, -1)
+    rel_h = jnp.einsum("bhwc,hkc->bhwk", r_q, Rh, preferred_element_type=jnp.float32)
+    rel_w = jnp.einsum("bhwc,wkc->bhwk", r_q, Rw, preferred_element_type=jnp.float32)
+    return rel_h, rel_w
+
+
+# ---------------------------------------------------------------------------
+# SAM-ViT multi-head attention over a 2-D token grid
+# ---------------------------------------------------------------------------
+
+
+def init_attention_2d(
+    key: jax.Array,
+    dim: int,
+    num_heads: int,
+    use_rel_pos: bool,
+    input_size: Optional[Tuple[int, int]] = None,
+    qkv_bias: bool = True,
+) -> Params:
+    k1, k2 = jax.random.split(key)
+    p: Params = {
+        "qkv": init_dense(k1, dim, dim * 3, bias=qkv_bias),
+        "proj": init_dense(k2, dim, dim),
+    }
+    if use_rel_pos:
+        assert input_size is not None
+        head_dim = dim // num_heads
+        p["rel_pos_h"] = jnp.zeros((2 * input_size[0] - 1, head_dim), jnp.float32)
+        p["rel_pos_w"] = jnp.zeros((2 * input_size[1] - 1, head_dim), jnp.float32)
+    return p
+
+
+def attention_2d(p: Params, x: jax.Array, num_heads: int) -> jax.Array:
+    """Multi-head self-attention over an NHWC token grid with optional
+    decomposed rel-pos bias (reference: lib/sam_model/image_encoder.py:225-241).
+    """
+    B, H, W, C = x.shape
+    N = H * W
+    head_dim = C // num_heads
+    scale = head_dim**-0.5
+
+    qkv = dense(p["qkv"], x.reshape(B, N, C))  # [B, N, 3C]
+    qkv = qkv.reshape(B, N, 3, num_heads, head_dim)
+    qkv = qkv.transpose(2, 0, 3, 1, 4).reshape(3, B * num_heads, N, head_dim)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+
+    attn = jnp.einsum(
+        "bqd,bkd->bqk", q * scale, k, preferred_element_type=jnp.float32
+    )  # [B*heads, N, N] fp32
+
+    if "rel_pos_h" in p:
+        rel_h, rel_w = decomposed_rel_pos_bias(
+            q, p["rel_pos_h"], p["rel_pos_w"], (H, W), (H, W)
+        )
+        attn = attn.reshape(B * num_heads, H, W, H, W)
+        attn = attn + rel_h[:, :, :, :, None] + rel_w[:, :, :, None, :]
+        attn = attn.reshape(B * num_heads, N, N)
+
+    attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bqk,bkd->bqd", attn, v, preferred_element_type=jnp.float32)
+    out = out.astype(x.dtype)
+    out = out.reshape(B, num_heads, H, W, head_dim)
+    out = out.transpose(0, 2, 3, 1, 4).reshape(B, H, W, C)
+    return dense(p["proj"], out)
+
+
+# ---------------------------------------------------------------------------
+# generic projection-downsampled MHA (SAM two-way transformer style)
+# ---------------------------------------------------------------------------
+
+
+def init_attention_qkv(
+    key: jax.Array, embed_dim: int, num_heads: int, downsample_rate: int = 1
+) -> Params:
+    internal = embed_dim // downsample_rate
+    assert internal % num_heads == 0
+    kq, kk, kv, ko = jax.random.split(key, 4)
+    return {
+        "q_proj": init_dense(kq, embed_dim, internal),
+        "k_proj": init_dense(kk, embed_dim, internal),
+        "v_proj": init_dense(kv, embed_dim, internal),
+        "out_proj": init_dense(ko, internal, embed_dim),
+    }
+
+
+def attention_qkv(
+    p: Params, q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int
+) -> jax.Array:
+    """Separate-projection MHA (reference: lib/sam_model/transformer.py:185-240)."""
+    q = dense(p["q_proj"], q)
+    k = dense(p["k_proj"], k)
+    v = dense(p["v_proj"], v)
+    B, Nq, C = q.shape
+    Nk = k.shape[1]
+    head_dim = C // num_heads
+
+    def split(x, n):
+        return x.reshape(B, n, num_heads, head_dim).transpose(0, 2, 1, 3)
+
+    qh, kh, vh = split(q, Nq), split(k, Nk), split(v, Nk)
+    attn = jnp.einsum(
+        "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
+    ) / (head_dim**0.5)
+    attn = jax.nn.softmax(attn, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh, preferred_element_type=jnp.float32)
+    out = out.astype(q.dtype).transpose(0, 2, 1, 3).reshape(B, Nq, C)
+    return dense(p["out_proj"], out)
+
+
+# ---------------------------------------------------------------------------
+# fused-QKV sequence MHA (SigLIP towers, timm/open_clip style)
+# ---------------------------------------------------------------------------
+
+
+def init_attention_seq(key: jax.Array, dim: int, qkv_bias: bool = True) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {
+        "qkv": init_dense(k1, dim, 3 * dim, bias=qkv_bias),
+        "proj": init_dense(k2, dim, dim),
+    }
+
+
+def attention_seq(p: Params, x: jax.Array, num_heads: int) -> jax.Array:
+    """Standard fused-QKV self-attention over [B, N, C] (no mask)."""
+    B, N, C = x.shape
+    head_dim = C // num_heads
+    qkv = dense(p["qkv"], x).reshape(B, N, 3, num_heads, head_dim)
+    qkv = qkv.transpose(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    attn = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) / (head_dim**0.5)
+    attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v, preferred_element_type=jnp.float32)
+    out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(B, N, C)
+    return dense(p["proj"], out)

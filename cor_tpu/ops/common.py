@@ -1,0 +1,220 @@
+"""Core functional building blocks.
+
+Every module in cor_tpu is a pure (init, apply) pair over nested-dict pytrees:
+``init_*`` consumes a PRNG key and returns a params dict of ``jnp`` arrays
+(always fp32 — the "master" dtype); apply functions consume params and inputs
+and are dtype-polymorphic, computing matmuls in the input dtype with fp32 MXU
+accumulation and running normalization statistics in fp32.
+
+Initializer distributions reproduce the PyTorch defaults the reference relies
+on (reference: lib/sam_model/common.py, torch nn.Linear/nn.Conv2d `reset_parameters`):
+kaiming-uniform(a=sqrt(5)) for weights == U(-1/sqrt(fan_in), 1/sqrt(fan_in)),
+and the same bound for biases, so that from-scratch training matches the
+reference's optimization behavior.
+
+Layout convention: images are NHWC everywhere (TPU-native); the reference's
+NCHW tensors map to NHWC with channels last.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# initializer helpers (torch-default parity)
+# ---------------------------------------------------------------------------
+
+
+def _torch_uniform(key: jax.Array, shape: Sequence[int], fan_in: int) -> jax.Array:
+    """U(-1/sqrt(fan_in), 1/sqrt(fan_in)) — torch's kaiming_uniform(a=sqrt(5))."""
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+    return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
+
+
+def trunc_normal(key: jax.Array, shape: Sequence[int], std: float = 0.02) -> jax.Array:
+    """Truncated normal(0, std) in [-2 std, 2 std] (timm-style)."""
+    return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# dense
+# ---------------------------------------------------------------------------
+
+
+def init_dense(key: jax.Array, in_dim: int, out_dim: int, bias: bool = True) -> Params:
+    kw, kb = jax.random.split(key)
+    p: Params = {"w": _torch_uniform(kw, (in_dim, out_dim), in_dim)}
+    if bias:
+        p["b"] = _torch_uniform(kb, (out_dim,), in_dim)
+    return p
+
+
+def dense(p: Params, x: jax.Array) -> jax.Array:
+    """y = x @ w + b with fp32 MXU accumulation, output in x.dtype."""
+    y = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32)
+    if "b" in p:
+        y = y + p["b"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# conv2d (NHWC, HWIO)
+# ---------------------------------------------------------------------------
+
+
+def init_conv2d(
+    key: jax.Array,
+    in_ch: int,
+    out_ch: int,
+    kernel: int | Tuple[int, int],
+    bias: bool = True,
+    groups: int = 1,
+) -> Params:
+    kh, kw = (kernel, kernel) if isinstance(kernel, int) else kernel
+    fan_in = (in_ch // groups) * kh * kw
+    k1, k2 = jax.random.split(key)
+    p: Params = {"w": _torch_uniform(k1, (kh, kw, in_ch // groups, out_ch), fan_in)}
+    if bias:
+        p["b"] = _torch_uniform(k2, (out_ch,), fan_in)
+    return p
+
+
+def conv2d(
+    p: Params,
+    x: jax.Array,
+    stride: int | Tuple[int, int] = 1,
+    padding: int | Tuple[int, int] | str = 0,
+    groups: int = 1,
+) -> jax.Array:
+    """NHWC conv with HWIO kernel; matches torch.nn.Conv2d semantics."""
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
+    elif isinstance(padding, tuple):
+        padding = ((padding[0], padding[0]), (padding[1], padding[1]))
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["w"].astype(x.dtype),
+        window_strides=stride,
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    )
+    if "b" in p:
+        y = y + p["b"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# layer norm (channels-last; fp32 statistics)
+# ---------------------------------------------------------------------------
+
+
+def init_layer_norm(dim: int) -> Params:
+    return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def layer_norm(p: Params, x: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """LayerNorm over the last axis with fp32 statistics.
+
+    With NHWC tensors this single function covers both the reference's
+    channels_last LayerNorm and its channels_first LayerNorm2d
+    (reference: lib/sam_model/common.py:31-43,
+    lib/support_model/mask_adapter.py:226-251) — in NHWC the channel axis is
+    always last.
+    """
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"] + p["bias"]
+    return y.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# activations / regularization
+# ---------------------------------------------------------------------------
+
+
+def gelu(x: jax.Array) -> jax.Array:
+    """Exact (erf) GELU — torch nn.GELU default."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def dropout(
+    x: jax.Array, rate: float, key: Optional[jax.Array], train: bool
+) -> jax.Array:
+    """Inverted dropout; identity when not training or rate == 0."""
+    if not train or rate == 0.0 or key is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x)).astype(x.dtype)
+
+
+def drop_path(
+    x: jax.Array, rate: float, key: Optional[jax.Array], train: bool
+) -> jax.Array:
+    """Stochastic depth per sample (reference: lib/support_model/mask_adapter.py:254-286)."""
+    if not train or rate == 0.0 or key is None:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(key, keep, shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x)).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# MLP block (2-layer GELU — reference: lib/sam_model/common.py:13-26)
+# ---------------------------------------------------------------------------
+
+
+def init_mlp_block(key: jax.Array, dim: int, hidden: int) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {"lin1": init_dense(k1, dim, hidden), "lin2": init_dense(k2, hidden, dim)}
+
+
+def mlp_block(p: Params, x: jax.Array, act=gelu) -> jax.Array:
+    return dense(p["lin2"], act(dense(p["lin1"], x)))
+
+
+# ---------------------------------------------------------------------------
+# misc small modules used across models
+# ---------------------------------------------------------------------------
+
+
+def init_mlp_stack(
+    key: jax.Array, in_dim: int, hidden: int, out_dim: int, num_layers: int
+) -> Params:
+    """ReLU MLP stack (reference: lib/sam_model/mask_decoder.py:147-167)."""
+    dims = [in_dim] + [hidden] * (num_layers - 1) + [out_dim]
+    keys = jax.random.split(key, num_layers)
+    return {
+        "layers": [init_dense(k, dims[i], dims[i + 1]) for i, k in enumerate(keys)]
+    }
+
+
+def mlp_stack(p: Params, x: jax.Array, sigmoid_output: bool = False) -> jax.Array:
+    n = len(p["layers"])
+    for i, lp in enumerate(p["layers"]):
+        x = dense(lp, x)
+        if i < n - 1:
+            x = jax.nn.relu(x)
+    if sigmoid_output:
+        x = jax.nn.sigmoid(x)
+    return x
+
+
+def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
+    """F.normalize(p=2) parity: x / max(||x||, eps)."""
+    n = jnp.linalg.norm(x.astype(jnp.float32), axis=axis, keepdims=True)
+    return (x.astype(jnp.float32) / jnp.maximum(n, eps)).astype(x.dtype)

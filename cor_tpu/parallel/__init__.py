@@ -1,0 +1,17 @@
+from cor_tpu.parallel.mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    make_mesh,
+    batch_sharding,
+    replicated,
+    shard_batch,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "shard_batch",
+]

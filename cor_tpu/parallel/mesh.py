@@ -1,0 +1,60 @@
+"""Device mesh + sharding rules.
+
+The reference distributes purely with HF Accelerate DDP/DeepSpeed over NCCL
+(reference: my_train_a.py:69,198; utils/trainer_v3_g.py:76-103). The TPU-native
+equivalent is a ``jax.sharding.Mesh`` whose axes are picked so collectives
+ride ICI:
+
+- ``data``  — batch (and gallery) axis; gradient psum == DDP all-reduce.
+- ``model`` — optional tensor axis for sharding large weights / ZeRO-style
+  optimizer-state partitioning.
+
+Everything downstream uses named shardings; XLA inserts the collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    data: Optional[int] = None,
+    model: int = 1,
+) -> Mesh:
+    """Build a (data, model) mesh over the available devices.
+
+    With `model=1` this degenerates to pure data parallelism, the parity mode
+    with the reference's DDP. jax.make_mesh picks an ICI-friendly device
+    ordering for the requested axis shape.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if data is None:
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host batch pytree onto the mesh, sharded along axis 0."""
+    s = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
