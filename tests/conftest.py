@@ -7,7 +7,10 @@ virtual 8-device CPU mesh.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the environment pre-sets JAX_PLATFORMS=axon (remote TPU tunnel)
+# and a sitecustomize module imports jax at interpreter boot, locking the env
+# var into jax.config before this file runs — so update jax.config directly.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +19,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np  # noqa: E402

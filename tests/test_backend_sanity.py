@@ -1,0 +1,6 @@
+import jax
+
+
+def test_cpu_backend_with_8_devices():
+    assert jax.default_backend() == "cpu"
+    assert len(jax.devices()) == 8
