@@ -1,0 +1,183 @@
+"""Optimizer construction: optax pipelines mirroring the reference's choices.
+
+Parity targets:
+- optimizer selection {Adam, AdamW, SGD+momentum 0.9}
+  (reference: my_train_a.py:124-139; torch AdamW default weight_decay=1e-2,
+  torch Adam/AdamW default eps=1e-8, betas=(0.9, 0.999)).
+- schedulers {CosineAnnealingLR, CosineAnnealingWarmRestarts,
+  timm CosineLRScheduler with 5-epoch warmup, ExponentialLR, None}
+  (reference: my_train_a.py:141-173) — realized as optax schedules stepped
+  per-epoch exactly like the reference's `scheduler.step(epoch)`.
+- gradient value-clipping (NOT norm clipping): the reference's clip_gradient
+  clamps each gradient element to [-clip, clip] (reference: utils/utils.py:121-133).
+- parameter freezing via requires_grad filtering (reference:
+  lib/build_model.py:112-120; my_train_a.py:118-121) — realized as an
+  optax.masked partition over the param tree (ZeRO-friendly: frozen leaves
+  carry no optimizer state at all).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+# ---------------------------------------------------------------------------
+# freezing
+# ---------------------------------------------------------------------------
+
+FROZEN_PREFIXES = (
+    # whole frozen towers (reference: build_model.py:112-117)
+    ("image_encoder",),
+    ("support_branch", "siglip"),
+    # frozen IoU quality head (reference: build_model.py:118-120)
+    ("mask_decoder", "iou_prediction_head"),
+)
+
+
+def _path_tuple(path) -> tuple:
+    out = []
+    for k in path:
+        if hasattr(k, "key"):
+            out.append(k.key)
+        elif hasattr(k, "idx"):
+            out.append(k.idx)
+        else:
+            out.append(str(k))
+    return tuple(out)
+
+
+def is_trainable(path) -> bool:
+    pt = _path_tuple(path)
+    for prefix in FROZEN_PREFIXES:
+        if pt[: len(prefix)] == prefix:
+            return False
+    return True
+
+
+def trainable_mask(params) -> Any:
+    """Pytree of bools: True where the leaf receives updates."""
+    return jax.tree_util.tree_map_with_path(lambda path, _: is_trainable(path), params)
+
+
+def count_params(params, mask=None) -> int:
+    leaves = jax.tree.leaves(params)
+    if mask is None:
+        return sum(int(l.size) for l in leaves)
+    flags = jax.tree.leaves(mask)
+    return sum(int(l.size) for l, f in zip(leaves, flags) if f)
+
+
+# ---------------------------------------------------------------------------
+# value clipping (clamp, not norm — utils/utils.py:121-133)
+# ---------------------------------------------------------------------------
+
+
+def clip_by_value(clip: float) -> optax.GradientTransformation:
+    def init_fn(params):
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        return jax.tree.map(lambda g: jnp.clip(g, -clip, clip), updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+# ---------------------------------------------------------------------------
+# epoch-level schedules (the reference steps schedulers per epoch)
+# ---------------------------------------------------------------------------
+
+
+def make_lr_schedule(
+    name: str,
+    base_lr: float,
+    epochs: int,
+    lr_decay_rate: float = 0.1,
+) -> Callable[[jax.Array], jax.Array]:
+    """Returns lr(epoch). Epoch indexing matches the reference's
+    `scheduler.step(epoch)` with epochs starting at 1 (my_train_a.py:252-259).
+    """
+    name = str(name)
+
+    def cosine(epoch):
+        t = jnp.clip(epoch, 0, epochs)
+        return 0.5 * base_lr * (1.0 + jnp.cos(jnp.pi * t / epochs))
+
+    def cosine_warm_restarts(epoch, t0=5, t_mult=2.0):
+        # CosineAnnealingWarmRestarts(T_0=5, T_mult=2) per-epoch closed form
+        e = jnp.asarray(epoch, jnp.float32)
+        n = jnp.floor(jnp.log2(e / t0 * (t_mult - 1.0) + 1.0))
+        t_start = t0 * (t_mult**n - 1.0) / (t_mult - 1.0)
+        t_i = t0 * t_mult**n
+        t_cur = e - t_start
+        return 0.5 * base_lr * (1.0 + jnp.cos(jnp.pi * t_cur / t_i))
+
+    def timm_cosine(epoch, warmup=5, warmup_lr=1e-6, min_lr=1e-6):
+        # timm CosineLRScheduler(t_initial=epochs, warmup_t=5) semantics
+        e = jnp.asarray(epoch, jnp.float32)
+        warm = warmup_lr + (base_lr - warmup_lr) * e / warmup
+        t = (e - warmup) / jnp.maximum(epochs - warmup, 1)
+        cos = min_lr + 0.5 * (base_lr - min_lr) * (1.0 + jnp.cos(jnp.pi * jnp.clip(t, 0, 1)))
+        return jnp.where(e < warmup, warm, cos)
+
+    def exponential(epoch):
+        return base_lr * (0.9**epoch)  # reference gamma=0.9 (my_train_a.py:168)
+
+    if name == "CosineAnnealingLR":
+        return cosine
+    if name == "CosineAnnealingWarmRestarts":
+        return cosine_warm_restarts
+    if name == "CosineLRScheduler":
+        return timm_cosine
+    if name == "ExponentialLR":
+        return exponential
+    if name in ("None", "none", ""):
+        return lambda epoch: jnp.asarray(base_lr, jnp.float32)
+    raise ValueError(f"Unknown lr_scheduler: {name}")
+
+
+# ---------------------------------------------------------------------------
+# optimizer factory
+# ---------------------------------------------------------------------------
+
+
+def make_optimizer(
+    params,
+    optimizer: str = "AdamW",
+    lr: float = 1e-4,
+    lr_scheduler: str = "None",
+    epochs: int = 15,
+    gradient_clip: float = 0.5,
+    weight_decay: float = 1e-2,
+) -> tuple[optax.GradientTransformation, Callable]:
+    """Returns (tx, lr_schedule). The transformation expects an `epoch` value
+    injected via optax.inject_hyperparams-style state: we use a schedule on a
+    step counter that the trainer maps to epochs (one optimizer "scale" per
+    update, using the current epoch's LR like the reference).
+    """
+    schedule = make_lr_schedule(lr_scheduler, lr, epochs)
+
+    if optimizer == "AdamW":
+        base = optax.inject_hyperparams(
+            lambda learning_rate: optax.adamw(
+                learning_rate, b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay
+            )
+        )(learning_rate=lr)
+    elif optimizer == "Adam":
+        base = optax.inject_hyperparams(
+            lambda learning_rate: optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+        )(learning_rate=lr)
+    elif optimizer == "SGD":
+        base = optax.inject_hyperparams(
+            lambda learning_rate: optax.sgd(learning_rate, momentum=0.9)
+        )(learning_rate=lr)
+    else:
+        raise ValueError(f"Unknown optimizer: {optimizer}")
+
+    tx = optax.chain(clip_by_value(gradient_clip), base)
+    tx = optax.masked(tx, trainable_mask(params))
+    return tx, schedule

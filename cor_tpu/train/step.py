@@ -1,0 +1,144 @@
+"""Jitted train / eval steps over a device mesh.
+
+TPU-native replacement for the reference's Accelerate-wrapped loop
+(reference: utils/trainer_v3_g.py:21-170): ONE compiled graph per step —
+forward (bf16) + loss (fp32) + backward + value-clip + masked optimizer
+update. Data parallelism comes from sharding the batch over the mesh's
+`data` axis; XLA inserts the gradient all-reduce over ICI (the DDP
+equivalent of `accelerator.backward`).
+
+Eval steps return per-batch (sum, count) pairs so the trainer's cross-host
+aggregation has exactly the reference's weighted-gather semantics
+(trainer_v3_g.py:271-290).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from cor_tpu.models.core_model import CoreConfig, core_forward
+from cor_tpu.train.losses import core_total_loss
+from cor_tpu.train.metrics import all_soft_metrics, normalize_prediction
+from cor_tpu.ops.resize import resize_bilinear
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array  # int32 global step
+
+
+def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:
+    return TrainState(params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
+
+
+def make_train_step(cfg: CoreConfig, tx: optax.GradientTransformation):
+    """Returns train_step(state, batch, rng, lr) -> (state, metrics)."""
+
+    def loss_fn(params, batch, key):
+        pred, qemb, sfeat = core_forward(
+            params,
+            batch["query_img"],
+            batch["support_img"],
+            batch["text"],
+            batch["support_mask"],
+            cfg,
+            key=key,
+            train=True,
+        )
+        # NCHW-style [B, 1, H, W] logits -> NHWC for the loss
+        pred_nhwc = jnp.transpose(pred, (0, 2, 3, 1))
+        total, aux = core_total_loss(pred_nhwc, batch["query_mask"], qemb, sfeat)
+        return total, aux
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(
+        state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array, lr: jax.Array
+    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        key = jax.random.fold_in(rng, state.step)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, key
+        )
+        opt_state = _write_lr(state.opt_state, lr)
+        updates, opt_state = tx.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(aux)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
+
+
+def _write_lr(opt_state, lr):
+    """Set the injected learning_rate hyperparam inside the masked chain."""
+
+    def visit(state):
+        if isinstance(state, optax.MaskedState):
+            return optax.MaskedState(inner_state=visit(state.inner_state))
+        if hasattr(state, "hyperparams"):
+            h = dict(state.hyperparams)
+            h["learning_rate"] = jnp.asarray(lr, jnp.float32)
+            return state._replace(hyperparams=h)
+        if isinstance(state, tuple) and type(state) is tuple:
+            return tuple(visit(s) for s in state)
+        return state
+
+    return visit(opt_state)
+
+
+def make_eval_step(cfg: CoreConfig):
+    """Returns eval_step(params, batch) -> {metric: sum}, count.
+
+    Mirrors val_stage preprocessing: upsample logits to GT resolution,
+    sigmoid, per-sample min-max renorm, then the 5 soft metrics
+    (reference: trainer_v3_g.py:210-243).
+    """
+
+    @jax.jit
+    def eval_step(params, batch):
+        pred, _, _ = core_forward(
+            params,
+            batch["query_img"],
+            batch["support_img"],
+            batch["text"],
+            batch["support_mask"],
+            cfg,
+            train=False,
+        )
+        pred_nhwc = jnp.transpose(pred, (0, 2, 3, 1))
+        gt = batch["query_mask"].astype(jnp.float32)
+        pred_nhwc = resize_bilinear(pred_nhwc, gt.shape[1:3])
+        prob = normalize_prediction(pred_nhwc)
+        per_sample = all_soft_metrics(prob, gt)
+        sums = {k: jnp.sum(v) for k, v in per_sample.items()}
+        count = jnp.asarray(gt.shape[0], jnp.float32)
+        return sums, count
+
+    return eval_step
+
+
+def make_predict_step(cfg: CoreConfig):
+    """Returns predict(params, batch) -> normalized probabilities [B, H, W, 1]
+    at the low-res (256^2 for the flagship) grid — the validator upsamples
+    per-sample to native GT size on the host (reference: vailder.py:400-476)."""
+
+    @jax.jit
+    def predict(params, batch):
+        pred, _, _ = core_forward(
+            params,
+            batch["query_img"],
+            batch["support_img"],
+            batch["text"],
+            batch["support_mask"],
+            cfg,
+            train=False,
+        )
+        pred_nhwc = jnp.transpose(pred, (0, 2, 3, 1))
+        return normalize_prediction(pred_nhwc)
+
+    return predict

@@ -1,0 +1,143 @@
+"""Golden tests for losses and metrics against a direct torch transcription of
+the reference math (utils/loss_func.py, utils/trainer_v3_g.py:381-443)."""
+
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as tF
+
+from cor_tpu.train.losses import (
+    bg_feat_similarity_loss,
+    fg_feat_similarity_loss,
+    mask_pool_normalized,
+    wbce_with_wiou_loss,
+)
+from cor_tpu.train.metrics import (
+    all_soft_metrics,
+    binarized_dice_iou,
+    normalize_prediction,
+)
+
+
+def torch_wbce_wiou(pred, mask, w1=1.0, w2=1.0):
+    """Direct transcription of reference wbce_with_wiou_loss (loss_func.py:5-32)."""
+    weit = 1 + 5 * torch.abs(
+        tF.avg_pool2d(mask, kernel_size=31, stride=1, padding=15) - mask
+    )
+    wbce = tF.binary_cross_entropy_with_logits(pred, mask, reduction="none")
+    wbce = (weit * wbce).sum(dim=(2, 3)) / weit.sum(dim=(2, 3))
+    pred_prob = torch.sigmoid(pred)
+    inter = ((pred_prob * mask) * weit).sum(dim=(2, 3))
+    union = ((pred_prob + mask) * weit).sum(dim=(2, 3)) - inter
+    wiou = 1 - (inter + 1e-6) / (union + 1e-6)
+    return (w1 * wbce + w2 * wiou).mean()
+
+
+def torch_mask_pooling(embeddings, mask):
+    if mask.shape[2:] != embeddings.shape[2:]:
+        mask = tF.interpolate(mask, size=embeddings.shape[2:], mode="bilinear", align_corners=False)
+    mask = mask.clamp(0, 1)
+    pooled = (embeddings * mask).sum((2, 3)) / (mask.sum((2, 3)) + 1e-8)
+    return tF.normalize(pooled, p=2, dim=-1).unsqueeze(1)
+
+
+def test_wbce_wiou_matches_torch(rng):
+    pred = rng.standard_normal((3, 1, 40, 40), dtype=np.float32) * 3
+    mask = (rng.random((3, 1, 40, 40)) > 0.6).astype(np.float32)
+    ours = wbce_with_wiou_loss(
+        jnp.asarray(pred.transpose(0, 2, 3, 1)), jnp.asarray(mask.transpose(0, 2, 3, 1))
+    )
+    ref = torch_wbce_wiou(torch.from_numpy(pred), torch.from_numpy(mask))
+    np.testing.assert_allclose(float(ours), float(ref), atol=1e-5, rtol=1e-4)
+
+
+def test_fg_loss_matches_torch_with_empty_samples(rng):
+    B, C, H = 4, 16, 8
+    emb = rng.standard_normal((B, C, H, H), dtype=np.float32)
+    sup = rng.standard_normal((B, 1, C), dtype=np.float32)
+    sup = sup / np.linalg.norm(sup, axis=-1, keepdims=True)
+    qm = (rng.random((B, 1, 32, 32)) > 0.5).astype(np.float32)
+    qm[1] = 0.0  # one empty sample — must be excluded
+
+    ours = fg_feat_similarity_loss(
+        jnp.asarray(emb.transpose(0, 2, 3, 1)),
+        jnp.asarray(sup),
+        jnp.asarray(qm.transpose(0, 2, 3, 1)),
+    )
+    # reference semantics: masked pooling over valid rows only
+    et, st, mt = torch.from_numpy(emb), torch.from_numpy(sup), torch.from_numpy(qm)
+    valid = mt.sum(dim=(1, 2, 3)) > 0
+    qf = torch_mask_pooling(et[valid], mt[valid])
+    ref = 1 - tF.cosine_similarity(qf, st[valid], dim=-1).mean()
+    np.testing.assert_allclose(float(ours), float(ref), atol=1e-5, rtol=1e-4)
+
+
+def test_bg_loss_matches_torch(rng):
+    B, C, H = 3, 16, 8
+    emb = rng.standard_normal((B, C, H, H), dtype=np.float32)
+    sup = rng.standard_normal((B, 1, C), dtype=np.float32)
+    sup = sup / np.linalg.norm(sup, axis=-1, keepdims=True)
+    qm = (rng.random((B, 1, 32, 32)) > 0.3).astype(np.float32)
+
+    ours = bg_feat_similarity_loss(
+        jnp.asarray(emb.transpose(0, 2, 3, 1)),
+        jnp.asarray(sup),
+        jnp.asarray(qm.transpose(0, 2, 3, 1)),
+    )
+    et, st, mt = torch.from_numpy(emb), torch.from_numpy(sup), torch.from_numpy(qm)
+    bg = 1 - mt
+    valid = bg.sum(dim=(1, 2, 3)) > 0
+    bf = torch_mask_pooling(et[valid], bg[valid]).squeeze(1)
+    sim = tF.cosine_similarity(bf, st[valid].squeeze(1), dim=1)
+    ref = (sim + 1).mean()
+    np.testing.assert_allclose(float(ours), float(ref), atol=1e-5, rtol=1e-4)
+
+
+def test_soft_metrics_match_torch(rng):
+    pred = rng.random((4, 1, 16, 16)).astype(np.float32)
+    gt = (rng.random((4, 1, 16, 16)) > 0.5).astype(np.float32)
+    ours = all_soft_metrics(
+        jnp.asarray(pred.transpose(0, 2, 3, 1)), jnp.asarray(gt.transpose(0, 2, 3, 1))
+    )
+    pt, gt_t = torch.from_numpy(pred).view(4, -1), torch.from_numpy(gt).view(4, -1)
+    inter = (pt * gt_t).sum(1)
+    dice = (2 * inter + 1e-5) / (pt.sum(1) + gt_t.sum(1) + 1e-5)
+    iou = (inter + 1e-5) / (pt.sum(1) + gt_t.sum(1) - inter + 1e-5)
+    mae = (pt - gt_t).abs().mean(1)
+    np.testing.assert_allclose(np.asarray(ours["dice"]), dice.numpy(), atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ours["iou"]), iou.numpy(), atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ours["mae"]), mae.numpy(), atol=1e-6)
+    # mdice/miou = mean of fg and inverted variants
+    pb, gb = 1 - pt, 1 - gt_t
+    inter_b = (pb * gb).sum(1)
+    dice_b = (2 * inter_b + 1e-5) / (pb.sum(1) + gb.sum(1) + 1e-5)
+    np.testing.assert_allclose(
+        np.asarray(ours["mdice"]), ((dice + dice_b) / 2).numpy(), atol=1e-5, rtol=1e-4
+    )
+
+
+def test_normalize_prediction_minmax(rng):
+    logits = rng.standard_normal((2, 8, 8, 1), dtype=np.float32) * 4
+    p = np.asarray(normalize_prediction(jnp.asarray(logits)))
+    assert p.min() >= 0 and p.max() <= 1
+    for i in range(2):
+        assert abs(p[i].min()) < 1e-6
+        assert abs(p[i].max() - 1.0) < 1e-3
+
+
+def test_binarized_all_zero_convention():
+    pred = np.zeros((3, 8, 8, 1), np.float32)
+    gt = np.zeros((3, 8, 8, 1), np.float32)
+    gt[1, :4] = 1.0  # pred empty, gt non-empty -> 0
+    pred[2, :4] = 1.0
+    gt[2, :4] = 1.0  # perfect -> 1
+    m = binarized_dice_iou(jnp.asarray(pred), jnp.asarray(gt))
+    np.testing.assert_allclose(np.asarray(m["dice_bin"]), [1.0, 0.0, 1.0])
+    np.testing.assert_allclose(np.asarray(m["iou_bin"]), [1.0, 0.0, 1.0])
+
+
+def test_mask_pool_normalized_unit_norm(rng):
+    emb = rng.standard_normal((2, 8, 8, 16), dtype=np.float32)
+    m = (rng.random((2, 16, 16, 1)) > 0.5).astype(np.float32)
+    out = mask_pool_normalized(jnp.asarray(emb), jnp.asarray(m))
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(out), axis=-1), 1.0, atol=1e-5)
