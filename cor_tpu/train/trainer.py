@@ -1,0 +1,179 @@
+"""Epoch-level training / validation driver.
+
+Capability parity with the reference's train_stage/val_stage
+(reference: utils/trainer_v3_g.py:21-377) on top of the jitted steps:
+
+- per-epoch LR scheduling via `lr_schedule(epoch)` exactly like the
+  reference's `scheduler.step(epoch)` before train_stage (my_train_a.py:252-259)
+- windowed loss meter + ETA logging (trainer_v3_g.py:82-97)
+- periodic checkpoints every `train_model_save_epoch` (:126-144)
+- KeyboardInterrupt -> emergency checkpoint (:146-168)
+- validation with globally-weighted metric means — under jit the (sum, count)
+  reduction over the mesh IS the reference's gather-weighted mean (:271-290)
+- best-model selection on Dice + IoU, double save (:329-356)
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cor_tpu.config import TrainConfig
+from cor_tpu.parallel import make_mesh, replicated, shard_batch
+from cor_tpu.train.checkpoint import save_checkpoint
+from cor_tpu.train.step import TrainState, make_eval_step, make_train_step
+from cor_tpu.utils.meters import AverageMeter, StepTimer
+
+
+@dataclass
+class BestTracker:
+    """Best-model selection on global Dice + IoU (trainer_v3_g.py:329-339)."""
+
+    best_score: float = float("-inf")
+    best_epoch: int = -1
+    best_metrics: Dict[str, float] = field(default_factory=dict)
+
+    def update(self, epoch: int, metrics: Dict[str, float]) -> bool:
+        score = metrics["dice"] + metrics["iou"]
+        if score > self.best_score:
+            self.best_score = score
+            self.best_epoch = epoch
+            self.best_metrics = dict(metrics)
+            return True
+        return False
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: TrainConfig,
+        state: TrainState,
+        tx,
+        lr_schedule: Callable,
+        logger,
+        mesh=None,
+        writer=None,
+    ):
+        self.cfg = cfg
+        self.core_cfg = cfg.core_config()
+        self.mesh = mesh if mesh is not None else make_mesh(
+            data=cfg.mesh_data, model=cfg.mesh_model
+        )
+        self.state = jax.device_put(state, replicated(self.mesh))
+        self.tx = tx
+        self.lr_schedule = lr_schedule
+        self.logger = logger
+        self.writer = writer
+        self.train_step = make_train_step(self.core_cfg, tx)
+        self.eval_step = make_eval_step(self.core_cfg)
+        self.best = BestTracker()
+        self.rng = jax.random.PRNGKey(cfg.seed)
+
+    # ------------------------------------------------------------------
+    def train_epoch(self, loader, epoch: int) -> float:
+        cfg = self.cfg
+        self.logger.info("=" * 35 + f" Training Epoch: {epoch} " + "=" * 35)
+        lr = float(self.lr_schedule(epoch))
+        loss_meter = AverageMeter(window_size=cfg.batch_record_interval)
+        timer = StepTimer()
+        total_batches = len(loader)
+        t_epoch = time.time()
+
+        try:
+            for batch_idx, batch in enumerate(loader, start=1):
+                timer.tic()
+                batch = shard_batch(self.mesh, self._device_batch(batch))
+                self.state, metrics = self.train_step(
+                    self.state, batch, self.rng, jnp.float32(lr)
+                )
+                loss = float(metrics["total_loss"])
+                loss_meter.update(loss)
+                timer.toc()
+                if batch_idx == 1 or batch_idx % cfg.batch_record_interval == 0 or batch_idx == total_batches:
+                    self.logger.info(
+                        f"[Epo: {epoch:03d}/{cfg.epoch:03d}] => "
+                        f"[Batch: {batch_idx:04d}/{total_batches:04d}] => "
+                        f"[BLoss: {loss:.4f}] => [LAvgLoss: {loss_meter.average:.4f}] => "
+                        f"[Lr: {lr:g}] => [ETA: {timer.eta(total_batches - batch_idx)}]"
+                    )
+        except KeyboardInterrupt:
+            self.logger.info("[Train Info]: Keyboard Interrupt: saving and exiting!")
+            self._save(f"interrupted_checkpoint_epoch_{epoch}", epoch)
+            raise
+
+        global_loss = loss_meter.average
+        duration = time.time() - t_epoch
+        self.logger.info(
+            f"[Train Info]: [Epoch {epoch:03d}/{cfg.epoch:03d}], "
+            f"[GlobalAvgLoss: {global_loss:.4f}], [Lr: {lr:g}], "
+            f"[Duration: {int(duration)}s]"
+        )
+        if self.writer is not None:
+            self.writer.add_scalar("Train/LearningRate", lr, epoch)
+            self.writer.add_scalar("Train/GlobalTotalLoss", global_loss, epoch)
+            self.writer.add_scalar("Train/EpochDuration", duration, epoch)
+        if epoch % cfg.train_model_save_epoch == 0:
+            self._save(f"checkpoint_epoch_{epoch}", epoch, loss=global_loss)
+        return global_loss
+
+    # ------------------------------------------------------------------
+    def val_epoch(self, loader, epoch: int) -> Dict[str, float]:
+        cfg = self.cfg
+        self.logger.info("=" * 35 + f" Val Epoch: {epoch} " + "=" * 35)
+        sums = {k: 0.0 for k in ("dice", "mae", "iou", "mdice", "miou")}
+        count = 0.0
+        t_epoch = time.time()
+        for batch in loader:
+            batch = shard_batch(self.mesh, self._device_batch(batch))
+            batch_sums, n = self.eval_step(self.state.params, batch)
+            for k in sums:
+                sums[k] += float(batch_sums[k])
+            count += float(n)
+        metrics = {k: v / max(count, 1.0) for k, v in sums.items()}
+        duration = time.time() - t_epoch
+        self.logger.info(
+            f"[Val Info]: Epoch: {epoch}, "
+            + ", ".join(f"Global {k.capitalize()}: {v:.4f}" for k, v in metrics.items())
+            + f", [Duration: {int(duration)}s]"
+        )
+        if self.writer is not None:
+            for k, v in metrics.items():
+                self.writer.add_scalar(f"Val/Global{k.capitalize()}", v, epoch)
+            self.writer.add_scalar("Val/EpochDuration", duration, epoch)
+        if self.best.update(epoch, metrics):
+            self.logger.info(
+                f"[Val Info]: New best model at epoch {epoch} "
+                f"(Dice+IoU = {self.best.best_score:.4f})"
+            )
+            self._save("best_model", epoch)
+        return metrics
+
+    # ------------------------------------------------------------------
+    def fit(self, train_loader, val_loader, start_epoch: int = 1):
+        for epoch in range(start_epoch, self.cfg.epoch + 1):
+            self.train_epoch(train_loader, epoch)
+            self.val_epoch(val_loader, epoch)
+        return self.best
+
+    # ------------------------------------------------------------------
+    def _device_batch(self, batch) -> Dict[str, jnp.ndarray]:
+        keep = ("query_img", "query_mask", "support_img", "support_mask", "text")
+        return {k: jnp.asarray(batch[k]) for k in keep}
+
+    def _save(self, name: str, epoch: int, loss: Optional[float] = None):
+        payload = {
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+            "epoch": np.int32(epoch),
+        }
+        if loss is not None:
+            payload["loss"] = np.float32(loss)
+        path = save_checkpoint(self.cfg.train_model_save_path, name, payload)
+        self.logger.info(f"[Train Info]: Saved checkpoint to {path}")

@@ -1,0 +1,136 @@
+"""Data pipeline tests: CSV manifest, path layout, augmentation determinism,
+tokenizer framing, loader batching."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from PIL import Image
+
+from cor_tpu.data.augment import train_augment
+from cor_tpu.data.pipeline import (
+    CORDataset,
+    DataLoader,
+    SyntheticDataset,
+    load_manifest,
+)
+from cor_tpu.data.tokenizer import HashTokenizer, canonicalize_text
+
+
+@pytest.fixture
+def fake_cor_root(tmp_path):
+    """Build a miniature COR127K layout + CSV manifest."""
+    root = tmp_path / "data"
+    csv_path = tmp_path / "Train.csv"
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(6):
+        ds = "Test_1"
+        target = "0q1n"
+        qi, qm = f"q{i}.jpg", f"q{i}.png"
+        si, sm = f"s{i}.jpg", f"s{i}.png"
+        (root / ds / "image").mkdir(parents=True, exist_ok=True)
+        (root / ds / "mask" / target).mkdir(parents=True, exist_ok=True)
+        (root / ds / "mask" / "sup").mkdir(parents=True, exist_ok=True)
+        Image.fromarray(rng.integers(0, 255, (48, 64, 3), np.uint8), "RGB").save(
+            root / ds / "image" / qi
+        )
+        Image.fromarray((rng.random((48, 64)) > 0.5).astype(np.uint8) * 255, "L").save(
+            root / ds / "mask" / target / qm
+        )
+        Image.fromarray(rng.integers(0, 255, (40, 40, 3), np.uint8), "RGB").save(
+            root / ds / "image" / si
+        )
+        Image.fromarray((rng.random((40, 40)) > 0.5).astype(np.uint8) * 255, "L").save(
+            root / ds / "mask" / "sup" / sm
+        )
+        rows.append(
+            dict(
+                Id=i,
+                Compose=0 if i < 4 else 1,  # 2 rows filtered out
+                Dataset=ds,
+                Target=target,
+                Query_img=qi,
+                Query_mask=qm,
+                Support_img=si,
+                Support_mask=sm,
+                Text=f"change color to blue {i}",
+            )
+        )
+    pd.DataFrame(rows).to_csv(csv_path, index=False)
+    return root, csv_path
+
+
+def test_manifest_compose_filter(fake_cor_root):
+    _, csv_path = fake_cor_root
+    df = load_manifest(csv_path)
+    assert len(df) == 4  # Compose == 0 only (dataloader.py:91)
+
+
+def test_cor_dataset_shapes_and_loader(fake_cor_root):
+    root, csv_path = fake_cor_root
+    ds = CORDataset(
+        csv_path=str(csv_path),
+        dataset_path=str(root),
+        train=False,
+        query_img_size=64,
+        support_img_size=32,
+        context_length=16,
+    )
+    assert len(ds) == 4
+    s = ds[0]
+    assert s["query_img"].shape == (64, 64, 3)
+    assert s["query_mask"].shape == (64, 64, 1)
+    assert s["support_img"].shape == (32, 32, 3)
+    assert s["support_mask"].shape == (32, 32, 1)
+    assert s["text"].shape == (16,)
+    assert s["query_mask"].min() >= 0.0 and s["query_mask"].max() <= 1.0
+    assert tuple(s["native_hw"]) == (48, 64)
+
+    loader = DataLoader(ds, batch_size=3, shuffle=True, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[0]["query_img"].shape == (3, 64, 64, 3)
+    assert batches[1]["query_img"].shape == (1, 64, 64, 3)
+
+
+def test_train_augmentation_is_applied_and_seeded(fake_cor_root):
+    root, csv_path = fake_cor_root
+    kw = dict(
+        csv_path=str(csv_path),
+        dataset_path=str(root),
+        query_img_size=64,
+        support_img_size=32,
+        context_length=16,
+    )
+    plain = CORDataset(train=False, **kw)[0]
+    aug1 = CORDataset(train=True, seed=1, **kw)[0]
+    # augmented query differs from plain with overwhelming probability
+    assert not np.allclose(plain["query_img"], aug1["query_img"])
+    # support path is never augmented (dataloader.py:176-180)
+    np.testing.assert_allclose(plain["support_img"], aug1["support_img"])
+
+
+def test_augment_chain_preserves_pairing(rng):
+    img = Image.fromarray(np.random.default_rng(0).integers(0, 255, (64, 80, 3), np.uint8))
+    gt = Image.fromarray(np.random.default_rng(1).integers(0, 2, (64, 80), np.uint8) * 255)
+    a_img, a_gt = train_augment(img, gt, np.random.default_rng(3))
+    assert a_img.size == a_gt.size  # joint crop keeps them aligned
+
+
+def test_hash_tokenizer_framing():
+    tok = HashTokenizer(context_length=12, vocab_size=100)
+    ids = tok(["Change the RED hat to blue!", "Change the red hat to blue"])
+    assert ids.shape == (2, 12)
+    # canonicalization makes the two rows identical
+    np.testing.assert_array_equal(ids[0], ids[1])
+    assert ids[0, -1] == 1  # eos at the pooled (last) slot
+    assert ids.dtype == np.int32
+    # punctuation is removed (not replaced by space), underscores become spaces
+    assert canonicalize_text("A_B,c!  d") == "a bc d"
+
+
+def test_synthetic_dataset_deterministic():
+    ds = SyntheticDataset(length=4, query_img_size=32, support_img_size=16, seed=9)
+    a, b = ds[2], ds[2]
+    np.testing.assert_array_equal(a["query_img"], b["query_img"])
+    assert a["query_mask"].sum() > 0

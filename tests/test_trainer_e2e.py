@@ -1,0 +1,108 @@
+"""End-to-end tiny train: 2 epochs over synthetic data on the 8-device CPU
+mesh, with validation, best-model tracking, checkpoint save + resume."""
+
+import logging
+
+import jax
+import numpy as np
+import pytest
+
+from cor_tpu.config import TrainConfig
+from cor_tpu.data.pipeline import DataLoader, SyntheticDataset
+from cor_tpu.models.core_model import init_core_model
+from cor_tpu.train.checkpoint import (
+    latest_epoch_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from cor_tpu.train.optim import make_optimizer
+from cor_tpu.train.step import create_train_state
+from cor_tpu.train.trainer import Trainer
+from tests.helpers import tiny_core_config
+
+
+class TinyTrainConfig(TrainConfig):
+    pass
+
+
+@pytest.fixture
+def tiny_synth_loaders():
+    train_ds = SyntheticDataset(length=16, query_img_size=64, support_img_size=32, context_length=8, seed=1)
+    val_ds = SyntheticDataset(length=8, query_img_size=64, support_img_size=32, context_length=8, seed=2)
+    # synthetic text ids must stay below the tiny vocab (64)
+    for ds in (train_ds, val_ds):
+        orig = ds.__getitem__
+
+        def wrapped(idx, orig=orig):
+            s = orig(idx)
+            s["text"] = (s["text"] % 62 + 2).astype(np.int32)
+            return s
+
+        ds.__getitem__ = wrapped  # type: ignore[method-assign]
+    return (
+        DataLoader(train_ds, batch_size=8, shuffle=True, drop_last=True, num_workers=2),
+        DataLoader(val_ds, batch_size=8, num_workers=2),
+    )
+
+
+def test_trainer_e2e_with_checkpointing(tmp_path, tiny_synth_loaders):
+    train_loader, val_loader = tiny_synth_loaders
+    cfg = TrainConfig(
+        epoch=2,
+        lr=1e-3,
+        batch_size=8,
+        train_model_save_epoch=1,
+        batch_record_interval=1,
+        train_model_save_path=str(tmp_path),
+        compute_dtype="float32",
+    )
+    core_cfg = tiny_core_config()
+    params = init_core_model(jax.random.PRNGKey(0), core_cfg)
+    tx, sched = make_optimizer(
+        params, cfg.optimizer, cfg.lr, cfg.lr_scheduler, cfg.epoch, cfg.gradient_clip
+    )
+    state = create_train_state(params, tx)
+    logger = logging.getLogger("test")
+    trainer = Trainer(cfg, state, tx, sched, logger)
+    trainer.core_cfg = core_cfg  # tiny override
+    trainer.train_step = __import__(
+        "cor_tpu.train.step", fromlist=["make_train_step"]
+    ).make_train_step(core_cfg, tx)
+    trainer.eval_step = __import__(
+        "cor_tpu.train.step", fromlist=["make_eval_step"]
+    ).make_eval_step(core_cfg)
+
+    best = trainer.fit(train_loader, val_loader)
+    assert best.best_epoch in (1, 2)
+    for k in ("dice", "mae", "iou", "mdice", "miou"):
+        assert 0.0 <= best.best_metrics[k] <= 1.0
+
+    # periodic + best checkpoints exist
+    assert latest_epoch_checkpoint(tmp_path) == "checkpoint_epoch_2"
+    assert (tmp_path / "best_model").exists()
+
+    # resume roundtrip: params restore bit-exact
+    template = {
+        "params": trainer.state.params,
+        "opt_state": trainer.state.opt_state,
+        "step": trainer.state.step,
+        "epoch": np.int32(0),
+        "loss": np.float32(0),
+    }
+    restored = restore_checkpoint(tmp_path, "checkpoint_epoch_2", template)
+    assert int(restored["epoch"]) == 2
+    for a, b in zip(
+        jax.tree.leaves(restored["params"]), jax.tree.leaves(trainer.state.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_roundtrip_standalone(tmp_path, key):
+    payload = {
+        "params": {"w": np.arange(12, dtype=np.float32).reshape(3, 4)},
+        "epoch": np.int32(7),
+    }
+    save_checkpoint(tmp_path, "ck", payload)
+    out = restore_checkpoint(tmp_path, "ck", payload)
+    np.testing.assert_array_equal(out["params"]["w"], payload["params"]["w"])
+    assert int(out["epoch"]) == 7
