@@ -1,0 +1,134 @@
+"""Headline benchmark: composed-object-retrieval pipeline throughput on one
+TPU chip.
+
+One compiled graph per iteration, exactly the BASELINE.json north star:
+batched query encoding (support branch: SigLIP image+text towers +
+mask-adapter pooling + fusion), cosine scoring against the gallery, top-k
+selection, and SAM mask decoding of every retrieved candidate (reusing the
+gallery's precomputed image embeddings).
+
+Metric: gallery candidates fully processed (scored + top-k mask-decoded) per
+second per chip. Baseline: 5,000/sec/chip (BASELINE.json north-star target).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from cor_tpu.models.core_model import CoreConfig, _cast, init_core_model
+    from cor_tpu.models.prompt_encoder import get_dense_pe, prompt_encoder_dense
+    from cor_tpu.models.sam_decoder import mask_decoder
+    from cor_tpu.models.support_branch import support_branch
+
+    cfg = CoreConfig(
+        sam_model="sam_base",
+        siglip_model="ViT-B-16-SigLIP-384",
+        mask_pooling="MaskAdapterPooling",
+        multimask_output=False,
+        compute_dtype="bfloat16",
+    )
+
+    Q = 8  # queries per pipeline iteration
+    K = 16  # candidates retrieved + mask-decoded per query
+    G = 4096  # gallery rows scored per query
+    STORE = 128  # precomputed candidate image embeddings resident in HBM
+
+    rng = np.random.default_rng(0)
+    params = init_core_model(jax.random.PRNGKey(0), cfg)
+    # keep the big frozen towers in bf16 on-device (inference-style residency)
+    params = jax.device_put(_cast(params, jnp.bfloat16))
+
+    gallery = rng.standard_normal((G, 256)).astype(np.float32)
+    gallery /= np.linalg.norm(gallery, axis=1, keepdims=True)
+    gallery = jnp.asarray(gallery)
+    # candidate SAM image embeddings [STORE, 64, 64, 256]; retrieved ids map
+    # into the store modulo its size (memory-bounded stand-in for an HBM shard)
+    cand_store = jnp.asarray(
+        rng.standard_normal((STORE, 64, 64, 256)).astype(np.float32), dtype=jnp.bfloat16
+    )
+
+    support_img = jnp.asarray(rng.standard_normal((Q, 384, 384, 3), dtype=np.float32))
+    text = jnp.asarray(rng.integers(2, 32000, (Q, 64)).astype(np.int32))
+    support_mask = jnp.asarray((rng.random((Q, 384, 384, 1)) > 0.5).astype(np.float32))
+
+    def pipeline(params, support_img, text, support_mask, gallery, cand_store):
+        p = _cast(params, cfg.dtype)
+        # 1) encode composed queries -> retrieval space [Q, 256]
+        qfeat = support_branch(
+            p["support_branch"],
+            support_img.astype(cfg.dtype),
+            text,
+            support_mask.astype(cfg.dtype),
+            cfg.support,
+            train=False,
+        )[:, 0, :]
+        # 2) score the gallery + top-k
+        scores = jnp.dot(
+            qfeat.astype(jnp.float32), gallery.T, preferred_element_type=jnp.float32
+        )
+        top_scores, top_idx = jax.lax.top_k(scores, K)  # [Q, K]
+        # 3) mask-decode every retrieved candidate
+        flat_idx = top_idx.reshape(-1) % STORE  # [Q*K]
+        cand = cand_store[flat_idx]  # [Q*K, 64, 64, 256]
+        prompts = jnp.repeat(qfeat, K, axis=0)[:, None, :]  # [Q*K, 1, 256]
+        B = Q * K
+        dense_e = prompt_encoder_dense(p["prompt_encoder"], B, cfg.prompt).astype(cfg.dtype)
+        image_pe = get_dense_pe(p["prompt_encoder"], cfg.prompt).astype(cfg.dtype)
+        masks, iou, _ = mask_decoder(
+            p["mask_decoder"],
+            cand.astype(cfg.dtype),
+            image_pe,
+            prompts.astype(cfg.dtype),
+            dense_e,
+            cfg.decoder,
+            multimask_output=False,
+        )
+        # scalar checksum: fetching it on the host forces real completion
+        # (block_until_ready returns at dispatch on the axon relay backend)
+        checksum = masks.astype(jnp.float32).sum() + top_scores.sum()
+        return top_scores, top_idx, masks, checksum
+
+    fn = jax.jit(pipeline)
+    args = (params, support_img, text, support_mask, gallery, cand_store)
+
+    # warmup / compile (fetch the checksum to synchronize)
+    out = fn(*args)
+    float(out[-1])
+    out = fn(*args)
+    float(out[-1])
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    # in-order device queue: syncing on the last result syncs the whole loop
+    float(out[-1])
+    dt = time.perf_counter() - t0
+
+    candidates_per_sec = (Q * K * iters) / dt
+    baseline = 5000.0
+    print(
+        json.dumps(
+            {
+                "metric": "gallery candidates scored+mask-decoded per sec per chip",
+                "value": round(candidates_per_sec, 2),
+                "unit": "candidates/sec/chip",
+                "vs_baseline": round(candidates_per_sec / baseline, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

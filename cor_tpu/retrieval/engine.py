@@ -1,0 +1,163 @@
+"""Composed-object retrieval engine: batched gallery scoring + distributed
+top-k + overlapped mask decode.
+
+This layer is NEW capability relative to the reference repo — the reference
+only dumps per-triplet masks (reference: my_test.py:195-219) and computes
+Recall@K offline; there is no gallery-scan code to port (SURVEY.md §0). The
+design follows the north star in BASELINE.json: the scoring space is the
+model's own contrastive geometry — L2-normalized support/query features
+(reference: lib/support_branch.py:85, utils/loss_func.py:53) — so cosine
+similarity is a plain dot product.
+
+Architecture (TPU-first):
+- The gallery is a [G, D] matrix of L2-normed candidate embeddings, sharded
+  over the mesh's `data` axis (each chip holds G/n rows in HBM).
+- A query batch [Q, D] is replicated; scores = Q @ gallery^T runs as one MXU
+  GEMM per chip; local `lax.top_k` selects k candidates per shard;
+  shard-local (score, global_index) pairs are all-gathered over ICI and
+  merged with a second top_k — O(Q * n * k) merge instead of O(Q * G).
+- Mask decode of the retrieved candidates reuses precomputed query-image
+  embeddings, so retrieval scoring and SAM decoding overlap across batches.
+
+Gallery *candidate embeddings* come from mask-pooling each gallery object's
+own image embedding (cor_tpu.retrieval.index.build_gallery).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cor_tpu.parallel.mesh import DATA_AXIS
+
+
+# ---------------------------------------------------------------------------
+# single-device / replicated scoring
+# ---------------------------------------------------------------------------
+
+
+def cosine_scores(queries: jax.Array, gallery: jax.Array) -> jax.Array:
+    """[Q, D] x [G, D] -> [Q, G]; both inputs L2-normed, so this is cosine."""
+    return jnp.dot(
+        queries, gallery.T, preferred_element_type=jnp.float32
+    ).astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def top_k_retrieve(queries: jax.Array, gallery: jax.Array, k: int):
+    """Returns (scores [Q, k], indices [Q, k]) over the full gallery."""
+    s = cosine_scores(queries, gallery)
+    return jax.lax.top_k(s, k)
+
+
+# ---------------------------------------------------------------------------
+# sharded gallery scan over the mesh
+# ---------------------------------------------------------------------------
+
+
+def make_sharded_retrieve(mesh: Mesh, k: int):
+    """Build a jitted sharded scan: gallery rows sharded over the data axis,
+    local top-k per shard, ICI all-gather of candidates, global merge.
+
+    Returns retrieve(queries [Q, D] replicated, gallery [G, D] sharded,
+    base_indices [G] sharded) -> (scores [Q, k], global indices [Q, k]).
+    """
+    n_shards = mesh.shape[DATA_AXIS]
+
+    def local_scan(queries, gallery_shard, index_shard):
+        s = cosine_scores(queries, gallery_shard)  # [Q, G/n]
+        k_local = min(k, gallery_shard.shape[0])
+        scores, local_idx = jax.lax.top_k(s, k_local)  # [Q, k_local]
+        global_idx = index_shard[local_idx]  # [Q, k_local]
+        # gather candidates from every shard over ICI
+        all_scores = jax.lax.all_gather(scores, DATA_AXIS, axis=1)  # [Q, n, k_local]
+        all_idx = jax.lax.all_gather(global_idx, DATA_AXIS, axis=1)
+        Q = all_scores.shape[0]
+        all_scores = all_scores.reshape(Q, n_shards * k_local)
+        all_idx = all_idx.reshape(Q, n_shards * k_local)
+        merged_scores, merged_pos = jax.lax.top_k(all_scores, k)
+        merged_idx = jnp.take_along_axis(all_idx, merged_pos, axis=1)
+        return merged_scores, merged_idx
+
+    shard_fn = jax.shard_map(
+        local_scan,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(shard_fn)
+
+
+@dataclass
+class ShardedGallery:
+    """A gallery of candidate embeddings laid out across the mesh."""
+
+    embeddings: jax.Array  # [G_padded, D], L2-normed rows, data-axis sharded
+    indices: jax.Array  # [G_padded] original row ids (padding = -1)
+    size: int  # true gallery size
+
+    @classmethod
+    def build(cls, mesh: Mesh, embeddings: np.ndarray) -> "ShardedGallery":
+        g, d = embeddings.shape
+        n = mesh.shape[DATA_AXIS]
+        pad = (-g) % n
+        emb = np.concatenate(
+            # pad with zero rows: cosine 0 < any real candidate under the
+            # min-max-normalized feature geometry only if scores can be < 0 —
+            # use -inf scores instead via index masking downstream
+            [embeddings, np.zeros((pad, d), embeddings.dtype)],
+            axis=0,
+        )
+        idx = np.concatenate([np.arange(g), np.full(pad, -1)]).astype(np.int32)
+        sharding = NamedSharding(mesh, P(DATA_AXIS))
+        return cls(
+            embeddings=jax.device_put(jnp.asarray(emb), sharding),
+            indices=jax.device_put(jnp.asarray(idx), sharding),
+            size=g,
+        )
+
+
+class RetrievalEngine:
+    """High-level API: add a gallery once, retrieve top-k for query batches."""
+
+    def __init__(self, mesh: Mesh, k: int = 10):
+        self.mesh = mesh
+        self.k = k
+        self._retrieve = make_sharded_retrieve(mesh, k)
+        self.gallery: Optional[ShardedGallery] = None
+
+    def set_gallery(self, embeddings: np.ndarray):
+        norms = np.linalg.norm(embeddings, axis=1, keepdims=True)
+        embeddings = embeddings / np.maximum(norms, 1e-12)
+        self.gallery = ShardedGallery.build(self.mesh, embeddings.astype(np.float32))
+
+    def retrieve(self, query_embeddings: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """query_embeddings [Q, D] (L2-normed) -> (scores, indices) [Q, k]."""
+        assert self.gallery is not None, "call set_gallery first"
+        scores, idx = self._retrieve(
+            query_embeddings, self.gallery.embeddings, self.gallery.indices
+        )
+        # demote padded rows (index -1) below every real candidate
+        scores = jnp.where(idx < 0, -jnp.inf, scores)
+        order = jnp.argsort(-scores, axis=1)
+        return jnp.take_along_axis(scores, order, axis=1), jnp.take_along_axis(
+            idx, order, axis=1
+        )
+
+
+def recall_at_k(
+    retrieved_indices: np.ndarray, target_indices: np.ndarray, ks=(1, 5, 10)
+) -> Dict[str, float]:
+    """Recall@K given [Q, k_max] retrieved ids and [Q] targets."""
+    out = {}
+    for k in ks:
+        hits = (retrieved_indices[:, :k] == target_indices[:, None]).any(axis=1)
+        out[f"recall@{k}"] = float(hits.mean())
+    return out

@@ -1,0 +1,113 @@
+"""Gallery index construction: encode candidate objects into the retrieval
+embedding space.
+
+The retrieval space reuses CORE's contrastive geometry: a gallery candidate
+(image, object mask) is embedded by mask-pooling the SAM query-image
+embedding over the candidate's mask and L2-normalizing — exactly the feature
+the fg/bg region-contrastive losses align with the support feature during
+training (reference: utils/loss_func.py:35-85). A query (support image +
+support mask + change text) is embedded by the support branch. Retrieval =
+cosine top-k between the two.
+
+The full pipeline for a query additionally decodes a segmentation mask for
+each retrieved candidate with the SAM mask decoder, reusing the candidate's
+precomputed image embedding (one decoder pass per (query, candidate) pair —
+the decoder is tiny next to the encoders).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cor_tpu.models.core_model import CoreConfig, _cast
+from cor_tpu.models.prompt_encoder import get_dense_pe, prompt_encoder_dense
+from cor_tpu.models.sam_decoder import mask_decoder
+from cor_tpu.models.sam_encoder import sam_encoder
+from cor_tpu.models.support_branch import support_branch
+from cor_tpu.train.losses import mask_pool_normalized
+
+
+def make_candidate_encoder(cfg: CoreConfig):
+    """Returns encode(params, images [B,S,S,3], masks [B,S,S,1]) ->
+    (embeddings [B, D], image_embeddings [B, g, g, C])."""
+
+    @jax.jit
+    def encode(params, images, masks):
+        p = _cast(params, cfg.dtype)
+        emb = sam_encoder(p["image_encoder"], images.astype(cfg.dtype), cfg.encoder)
+        pooled = mask_pool_normalized(emb, masks)  # fp32 [B, C]
+        return pooled, emb.astype(jnp.float32)
+
+    return encode
+
+
+def make_query_encoder(cfg: CoreConfig):
+    """Returns encode(params, support_img, text, support_mask) -> [B, D]
+    L2-normed query embedding in the retrieval space (the support feature)."""
+
+    @jax.jit
+    def encode(params, support_img, text, support_mask):
+        p = _cast(params, cfg.dtype)
+        feat = support_branch(
+            p["support_branch"],
+            support_img.astype(cfg.dtype),
+            text,
+            support_mask.astype(cfg.dtype),
+            cfg.support,
+            train=False,
+        )
+        return feat[:, 0, :].astype(jnp.float32)  # [B, D]
+
+    return encode
+
+
+def make_candidate_mask_decoder(cfg: CoreConfig):
+    """Returns decode(params, cand_image_embeddings [B,g,g,C],
+    query_feats [B, D]) -> mask logits [B, 1, 4g, 4g]: segment the retrieved
+    candidate object conditioned on the composed query prompt."""
+
+    @jax.jit
+    def decode(params, cand_embeddings, query_feats):
+        p = _cast(params, cfg.dtype)
+        B = cand_embeddings.shape[0]
+        dense_e = prompt_encoder_dense(p["prompt_encoder"], B, cfg.prompt).astype(cfg.dtype)
+        image_pe = get_dense_pe(p["prompt_encoder"], cfg.prompt).astype(cfg.dtype)
+        masks, iou, _ = mask_decoder(
+            p["mask_decoder"],
+            cand_embeddings.astype(cfg.dtype),
+            image_pe,
+            query_feats[:, None, :].astype(cfg.dtype),
+            dense_e,
+            cfg.decoder,
+            multimask_output=cfg.multimask_output,
+        )
+        if cfg.multimask_output:
+            best = jnp.argmax(iou, axis=1)
+            masks = jnp.take_along_axis(masks, best[:, None, None, None], axis=1)
+        return masks.astype(jnp.float32)
+
+    return decode
+
+
+def build_gallery(
+    cfg: CoreConfig,
+    params,
+    batches: Iterable[Dict[str, np.ndarray]],
+    keep_image_embeddings: bool = False,
+) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Encode gallery candidates batch-by-batch into a [G, D] matrix
+    (+ optional stacked image embeddings for later mask decode)."""
+    encode = make_candidate_encoder(cfg)
+    embs, img_embs = [], []
+    for b in batches:
+        e, ie = encode(params, jnp.asarray(b["image"]), jnp.asarray(b["mask"]))
+        embs.append(np.asarray(e))
+        if keep_image_embeddings:
+            img_embs.append(np.asarray(ie))
+    gallery = np.concatenate(embs, axis=0)
+    images = np.concatenate(img_embs, axis=0) if keep_image_embeddings else None
+    return gallery, images
