@@ -1,0 +1,83 @@
+"""Evaluation entry point.
+
+Usage parity with the reference's my_test.py (which ships broken — it imports
+a `val_metric` that no longer exists, my_test.py:12). Here both mask dumps and
+per-sample CSV metrics work:
+
+    python -m cor_tpu.cli.eval --config configs/vaild_config.yaml
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="cor_tpu evaluator")
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--soft", action="store_true", help="also dump soft (grayscale) masks")
+    args = parser.parse_args(argv)
+
+    import jax
+
+    from cor_tpu.config import load_eval_config
+    from cor_tpu.data.pipeline import get_valid_loader
+    from cor_tpu.eval.validator import save_hard_pred_masks, save_soft_pred_masks, val_metric
+    from cor_tpu.models.core_model import init_core_model
+    from cor_tpu.train.checkpoint import restore_checkpoint
+    from cor_tpu.train.step import make_predict_step
+    from cor_tpu.utils.convert import (
+        convert_core_checkpoint,
+        load_torch_state_dict,
+    )
+    from cor_tpu.utils.meters import init_logger
+
+    cfg = load_eval_config(args.config)
+    core_cfg = cfg.core_config()
+    logger = init_logger(Path(cfg.vaild_model_save_path) / "logs", "eval")
+
+    params = init_core_model(jax.random.PRNGKey(cfg.seed), core_cfg)
+    if cfg.load_checkpoint_path:
+        ckpt = Path(cfg.load_checkpoint_path)
+        if ckpt.suffix in (".pth", ".pt", ".bin"):
+            # trained CORE torch checkpoint (incl. DDP prefixes + audit,
+            # reference: my_test.py:117-185)
+            sd = load_torch_state_dict(str(ckpt))
+            sig = core_cfg.support.siglip
+            params = convert_core_checkpoint(
+                sd,
+                encoder_depth=core_cfg.encoder.depth,
+                siglip_vision_depth=sig.vision.depth,
+                siglip_text_depth=sig.text.depth,
+                mask_pooling=cfg.mask_pooling,
+            )
+            logger.info(f"Loaded torch CORE checkpoint: {ckpt}")
+        else:
+            restored = restore_checkpoint(ckpt.parent, ckpt.name, {"params": params})
+            params = restored["params"]
+            logger.info(f"Loaded Orbax checkpoint: {ckpt}")
+
+    predict = make_predict_step(core_cfg)
+
+    for split_name, csv_path in (("Test_1", cfg.val_csv_A), ("Test_2", cfg.val_csv_B)):
+        if not csv_path:
+            continue
+        loader = get_valid_loader(cfg, csv_path=csv_path)
+        out_dir = Path(cfg.vaild_model_save_path) / split_name
+        written = save_hard_pred_masks(predict, params, loader, out_dir)
+        logger.info(f"[{split_name}] wrote {len(written)} hard masks to {out_dir}")
+        if args.soft:
+            loader = get_valid_loader(cfg, csv_path=csv_path)
+            save_soft_pred_masks(predict, params, loader, out_dir)
+        loader = get_valid_loader(cfg, csv_path=csv_path)
+        summary = val_metric(predict, params, loader, out_dir / "val_metric.csv")
+        logger.info(
+            f"[{split_name}] " + ", ".join(f"{k}={v:.4f}" for k, v in summary.items())
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -155,6 +155,8 @@ class SyntheticDataset:
     query_img_size: int = 1024
     support_img_size: int = 384
     context_length: int = 64
+    vocab_size: int = 32000
+    native_hw: Optional[tuple] = None  # defaults to (query_img_size,)*2
     seed: int = 0
     train: bool = False
 
@@ -171,14 +173,15 @@ class SyntheticDataset:
             m = ((yy - cy) ** 2 + (xx - cx) ** 2 < (0.08 + r * 0.2) ** 2)
             return m.astype(np.float32)[:, :, None]
 
+        native = self.native_hw or (q, q)
         return {
             "pair_id": np.int64(idx),
             "query_img": rng.standard_normal((q, q, 3)).astype(np.float32),
             "query_mask": blob(q),
             "support_img": rng.standard_normal((s, s, 3)).astype(np.float32),
             "support_mask": blob(s),
-            "text": rng.integers(2, 32000, self.context_length).astype(np.int32),
-            "native_hw": np.array([q, q], np.int32),
+            "text": rng.integers(2, self.vocab_size, self.context_length).astype(np.int32),
+            "native_hw": np.array(native, np.int32),
         }
 
 

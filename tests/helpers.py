@@ -21,6 +21,7 @@ TINY_ENCODER = SamEncoderConfig(
 
 TINY_DECODER = MaskDecoderConfig(
     transformer_dim=16,
+    iou_head_hidden_dim=16,
     transformer=TwoWayTransformerConfig(depth=2, embedding_dim=16, num_heads=2, mlp_dim=32),
 )
 

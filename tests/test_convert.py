@@ -1,0 +1,258 @@
+"""Converter tests: synthesize state dicts in the exact reference checkpoint
+dialects (stock-SAM keys, open_clip SigLIP keys, trained-CORE keys incl. DDP
+prefixes), convert, and check the resulting pytree drops into our models
+with identical structure + shapes, and that layout transposes invert."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from cor_tpu.models.sam_decoder import MaskDecoderConfig, init_mask_decoder
+from cor_tpu.models.sam_encoder import SamEncoderConfig, init_sam_encoder
+from cor_tpu.models.siglip import (
+    SigLIPTextConfig,
+    SigLIPVisionConfig,
+    init_siglip_text,
+    init_siglip_vision,
+)
+from cor_tpu.utils.convert import (
+    convert_sam_decoder,
+    convert_sam_encoder,
+    convert_siglip_text,
+    convert_siglip_vision,
+    strip_ddp_prefix,
+)
+
+ENC = SamEncoderConfig(
+    img_size=64, patch_size=16, embed_dim=32, depth=2, num_heads=2,
+    out_chans=16, window_size=2, global_attn_indexes=(1,),
+)
+
+
+def _rand(rng, *shape):
+    return rng.standard_normal(shape).astype(np.float32)
+
+
+def fake_sam_encoder_sd(rng, cfg: SamEncoderConfig, prefix="image_encoder"):
+    d, g = cfg.embed_dim, cfg.grid
+    hd = d // cfg.num_heads
+    sd = {
+        f"{prefix}.patch_embed.proj.weight": _rand(rng, d, 3, cfg.patch_size, cfg.patch_size),
+        f"{prefix}.patch_embed.proj.bias": _rand(rng, d),
+        f"{prefix}.pos_embed": _rand(rng, 1, g, g, d),
+        f"{prefix}.neck.0.weight": _rand(rng, cfg.out_chans, d, 1, 1),
+        f"{prefix}.neck.1.weight": _rand(rng, cfg.out_chans),
+        f"{prefix}.neck.1.bias": _rand(rng, cfg.out_chans),
+        f"{prefix}.neck.2.weight": _rand(rng, cfg.out_chans, cfg.out_chans, 3, 3),
+        f"{prefix}.neck.3.weight": _rand(rng, cfg.out_chans),
+        f"{prefix}.neck.3.bias": _rand(rng, cfg.out_chans),
+    }
+    for i in range(cfg.depth):
+        b = f"{prefix}.blocks.{i}"
+        size = g if i in cfg.global_attn_indexes else cfg.window_size
+        sd.update(
+            {
+                f"{b}.norm1.weight": _rand(rng, d),
+                f"{b}.norm1.bias": _rand(rng, d),
+                f"{b}.attn.qkv.weight": _rand(rng, 3 * d, d),
+                f"{b}.attn.qkv.bias": _rand(rng, 3 * d),
+                f"{b}.attn.proj.weight": _rand(rng, d, d),
+                f"{b}.attn.proj.bias": _rand(rng, d),
+                f"{b}.attn.rel_pos_h": _rand(rng, 2 * size - 1, hd),
+                f"{b}.attn.rel_pos_w": _rand(rng, 2 * size - 1, hd),
+                f"{b}.norm2.weight": _rand(rng, d),
+                f"{b}.norm2.bias": _rand(rng, d),
+                f"{b}.mlp.lin1.weight": _rand(rng, 4 * d, d),
+                f"{b}.mlp.lin1.bias": _rand(rng, 4 * d),
+                f"{b}.mlp.lin2.weight": _rand(rng, d, 4 * d),
+                f"{b}.mlp.lin2.bias": _rand(rng, d),
+            }
+        )
+    return sd
+
+
+def fake_sam_decoder_sd(rng, d=16, mlp_dim=32, prefix="mask_decoder"):
+    sd = {
+        f"{prefix}.iou_token.weight": _rand(rng, 1, d),
+        f"{prefix}.mask_tokens.weight": _rand(rng, 4, d),
+        f"{prefix}.output_upscaling.0.weight": _rand(rng, d, d // 4, 2, 2),
+        f"{prefix}.output_upscaling.0.bias": _rand(rng, d // 4),
+        f"{prefix}.output_upscaling.1.weight": _rand(rng, d // 4),
+        f"{prefix}.output_upscaling.1.bias": _rand(rng, d // 4),
+        f"{prefix}.output_upscaling.3.weight": _rand(rng, d // 4, d // 8, 2, 2),
+        f"{prefix}.output_upscaling.3.bias": _rand(rng, d // 8),
+    }
+
+    def attn(p, internal):
+        sd.update(
+            {
+                f"{p}.q_proj.weight": _rand(rng, internal, d),
+                f"{p}.q_proj.bias": _rand(rng, internal),
+                f"{p}.k_proj.weight": _rand(rng, internal, d),
+                f"{p}.k_proj.bias": _rand(rng, internal),
+                f"{p}.v_proj.weight": _rand(rng, internal, d),
+                f"{p}.v_proj.bias": _rand(rng, internal),
+                f"{p}.out_proj.weight": _rand(rng, d, internal),
+                f"{p}.out_proj.bias": _rand(rng, d),
+            }
+        )
+
+    t = f"{prefix}.transformer"
+    for i in range(2):
+        l = f"{t}.layers.{i}"
+        attn(f"{l}.self_attn", d)
+        attn(f"{l}.cross_attn_token_to_image", d // 2)
+        attn(f"{l}.cross_attn_image_to_token", d // 2)
+        for n in ("norm1", "norm2", "norm3", "norm4"):
+            sd[f"{l}.{n}.weight"] = _rand(rng, d)
+            sd[f"{l}.{n}.bias"] = _rand(rng, d)
+        sd[f"{l}.mlp.lin1.weight"] = _rand(rng, mlp_dim, d)
+        sd[f"{l}.mlp.lin1.bias"] = _rand(rng, mlp_dim)
+        sd[f"{l}.mlp.lin2.weight"] = _rand(rng, d, mlp_dim)
+        sd[f"{l}.mlp.lin2.bias"] = _rand(rng, d)
+    attn(f"{t}.final_attn_token_to_image", d // 2)
+    sd[f"{t}.norm_final_attn.weight"] = _rand(rng, d)
+    sd[f"{t}.norm_final_attn.bias"] = _rand(rng, d)
+    for i in range(4):
+        h = f"{prefix}.output_hypernetworks_mlps.{i}"
+        dims = [(d, d), (d, d), (d, d // 8)]
+        for j, (a, b) in enumerate(dims):
+            sd[f"{h}.layers.{j}.weight"] = _rand(rng, b, a)
+            sd[f"{h}.layers.{j}.bias"] = _rand(rng, b)
+    for j, (a, b) in enumerate([(d, d), (d, d), (d, 4)]):
+        sd[f"{prefix}.iou_prediction_head.layers.{j}.weight"] = _rand(rng, b, a)
+        sd[f"{prefix}.iou_prediction_head.layers.{j}.bias"] = _rand(rng, b)
+    return sd
+
+
+def fake_siglip_sd(rng, v: SigLIPVisionConfig, t: SigLIPTextConfig):
+    sd = {}
+    d = v.width
+    sd["visual.trunk.patch_embed.proj.weight"] = _rand(rng, d, 3, v.patch_size, v.patch_size)
+    sd["visual.trunk.patch_embed.proj.bias"] = _rand(rng, d)
+    sd["visual.trunk.pos_embed"] = _rand(rng, 1, v.num_patches, d)
+    for i in range(v.depth):
+        b = f"visual.trunk.blocks.{i}"
+        sd.update(
+            {
+                f"{b}.norm1.weight": _rand(rng, d), f"{b}.norm1.bias": _rand(rng, d),
+                f"{b}.attn.qkv.weight": _rand(rng, 3 * d, d), f"{b}.attn.qkv.bias": _rand(rng, 3 * d),
+                f"{b}.attn.proj.weight": _rand(rng, d, d), f"{b}.attn.proj.bias": _rand(rng, d),
+                f"{b}.norm2.weight": _rand(rng, d), f"{b}.norm2.bias": _rand(rng, d),
+                f"{b}.mlp.fc1.weight": _rand(rng, 4 * d, d), f"{b}.mlp.fc1.bias": _rand(rng, 4 * d),
+                f"{b}.mlp.fc2.weight": _rand(rng, d, 4 * d), f"{b}.mlp.fc2.bias": _rand(rng, d),
+            }
+        )
+    sd["visual.trunk.norm.weight"] = _rand(rng, d)
+    sd["visual.trunk.norm.bias"] = _rand(rng, d)
+    ap = "visual.trunk.attn_pool"
+    sd.update(
+        {
+            f"{ap}.latent": _rand(rng, 1, 1, d),
+            f"{ap}.q.weight": _rand(rng, d, d), f"{ap}.q.bias": _rand(rng, d),
+            f"{ap}.kv.weight": _rand(rng, 2 * d, d), f"{ap}.kv.bias": _rand(rng, 2 * d),
+            f"{ap}.proj.weight": _rand(rng, d, d), f"{ap}.proj.bias": _rand(rng, d),
+            f"{ap}.norm.weight": _rand(rng, d), f"{ap}.norm.bias": _rand(rng, d),
+            f"{ap}.mlp.fc1.weight": _rand(rng, 4 * d, d), f"{ap}.mlp.fc1.bias": _rand(rng, 4 * d),
+            f"{ap}.mlp.fc2.weight": _rand(rng, d, 4 * d), f"{ap}.mlp.fc2.bias": _rand(rng, d),
+        }
+    )
+    td = t.width
+    sd["text.token_embedding.weight"] = _rand(rng, t.vocab_size, td)
+    sd["text.positional_embedding"] = _rand(rng, t.context_length, td)
+    for i in range(t.depth):
+        b = f"text.transformer.resblocks.{i}"
+        sd.update(
+            {
+                f"{b}.ln_1.weight": _rand(rng, td), f"{b}.ln_1.bias": _rand(rng, td),
+                f"{b}.attn.in_proj_weight": _rand(rng, 3 * td, td),
+                f"{b}.attn.in_proj_bias": _rand(rng, 3 * td),
+                f"{b}.attn.out_proj.weight": _rand(rng, td, td),
+                f"{b}.attn.out_proj.bias": _rand(rng, td),
+                f"{b}.ln_2.weight": _rand(rng, td), f"{b}.ln_2.bias": _rand(rng, td),
+                f"{b}.mlp.c_fc.weight": _rand(rng, 4 * td, td), f"{b}.mlp.c_fc.bias": _rand(rng, 4 * td),
+                f"{b}.mlp.c_proj.weight": _rand(rng, td, 4 * td), f"{b}.mlp.c_proj.bias": _rand(rng, td),
+            }
+        )
+    sd["text.ln_final.weight"] = _rand(rng, td)
+    sd["text.ln_final.bias"] = _rand(rng, td)
+    sd["text.text_projection.weight"] = _rand(rng, td, td)
+    sd["text.text_projection.bias"] = _rand(rng, td)
+    return sd
+
+
+def _same_structure(a, b):
+    ta, tb = jax.tree.structure(a), jax.tree.structure(b)
+    assert ta == tb, f"{ta}\n != \n{tb}"
+    for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        assert np.shape(la) == np.shape(lb)
+
+
+def test_convert_sam_encoder_structure_and_layout(key, rng):
+    sd = fake_sam_encoder_sd(rng, ENC)
+    converted = convert_sam_encoder(sd, ENC.depth)
+    _same_structure(init_sam_encoder(key, ENC), converted)
+    # linear layout inverted: torch [out, in] -> ours [in, out]
+    np.testing.assert_allclose(
+        converted["blocks"][0]["attn"]["qkv"]["w"],
+        sd["image_encoder.blocks.0.attn.qkv.weight"].T,
+    )
+    # conv layout: torch OIHW -> ours HWIO
+    np.testing.assert_allclose(
+        converted["neck"]["conv2"]["w"],
+        sd["image_encoder.neck.2.weight"].transpose(2, 3, 1, 0),
+    )
+    # unfold-GEMM patch kernel consumes features in (row, col, channel) order
+    w = sd["image_encoder.patch_embed.proj.weight"]
+    np.testing.assert_allclose(
+        converted["patch_embed"]["w"],
+        w.transpose(2, 3, 1, 0).reshape(-1, w.shape[0]),
+    )
+
+
+def test_convert_sam_decoder_structure(key, rng):
+    from tests.helpers import TINY_DECODER
+
+    sd = fake_sam_decoder_sd(rng, d=16, mlp_dim=32)
+    converted = convert_sam_decoder(sd)
+    _same_structure(init_mask_decoder(key, TINY_DECODER), converted)
+    # ConvT layout: torch [I, O, kh, kw] -> ours [I, kh, kw, O]
+    np.testing.assert_allclose(
+        converted["output_upscaling"]["convt1"]["w"],
+        sd["mask_decoder.output_upscaling.0.weight"].transpose(0, 2, 3, 1),
+    )
+
+
+def test_convert_siglip_structure(key, rng):
+    from tests.helpers import TINY_SIGLIP
+
+    sd = fake_siglip_sd(rng, TINY_SIGLIP.vision, TINY_SIGLIP.text)
+    v = convert_siglip_vision(sd, TINY_SIGLIP.vision.depth)
+    t = convert_siglip_text(sd, TINY_SIGLIP.text.depth)
+    _same_structure(init_siglip_vision(key, TINY_SIGLIP.vision), v)
+    _same_structure(init_siglip_text(key, TINY_SIGLIP.text), t)
+    # fused text attn: in_proj_weight transposed into qkv
+    np.testing.assert_allclose(
+        t["blocks"][0]["attn"]["qkv"]["w"],
+        sd["text.transformer.resblocks.0.attn.in_proj_weight"].T,
+    )
+
+
+def test_strip_ddp_prefix():
+    sd = {"module.a.b": np.zeros(1), "c.d": np.ones(1)}
+    out = strip_ddp_prefix(sd)
+    assert set(out) == {"a.b", "c.d"}
+
+
+def test_converted_params_run_forward(key, rng):
+    """Converted encoder params must run through the model unchanged."""
+    from cor_tpu.models.sam_encoder import sam_encoder
+    import jax.numpy as jnp
+
+    sd = fake_sam_encoder_sd(rng, ENC)
+    params = jax.tree.map(jnp.asarray, convert_sam_encoder(sd, ENC.depth))
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32) * 0.02)
+    y = sam_encoder(params, x, ENC)
+    assert y.shape == (1, 4, 4, 16)
+    assert np.isfinite(np.asarray(y)).all()

@@ -27,18 +27,12 @@ class TinyTrainConfig(TrainConfig):
 
 @pytest.fixture
 def tiny_synth_loaders():
-    train_ds = SyntheticDataset(length=16, query_img_size=64, support_img_size=32, context_length=8, seed=1)
-    val_ds = SyntheticDataset(length=8, query_img_size=64, support_img_size=32, context_length=8, seed=2)
-    # synthetic text ids must stay below the tiny vocab (64)
-    for ds in (train_ds, val_ds):
-        orig = ds.__getitem__
-
-        def wrapped(idx, orig=orig):
-            s = orig(idx)
-            s["text"] = (s["text"] % 62 + 2).astype(np.int32)
-            return s
-
-        ds.__getitem__ = wrapped  # type: ignore[method-assign]
+    train_ds = SyntheticDataset(
+        length=16, query_img_size=64, support_img_size=32, context_length=8, vocab_size=64, seed=1
+    )
+    val_ds = SyntheticDataset(
+        length=8, query_img_size=64, support_img_size=32, context_length=8, vocab_size=64, seed=2
+    )
     return (
         DataLoader(train_ds, batch_size=8, shuffle=True, drop_last=True, num_workers=2),
         DataLoader(val_ds, batch_size=8, num_workers=2),
