@@ -39,7 +39,7 @@ def main() -> None:
         compute_dtype="bfloat16",
     )
 
-    Q = 8  # queries per pipeline iteration
+    Q = 16  # queries per pipeline iteration
     K = 16  # candidates retrieved + mask-decoded per query
     G = 4096  # gallery rows scored per query
     STORE = 128  # precomputed candidate image embeddings resident in HBM

@@ -164,6 +164,9 @@ def core_forward(
         dense_embeddings,
         cfg.decoder,
         multimask_output=cfg.multimask_output,
+        # Pallas-fused decoder tail on inference paths; training keeps the
+        # differentiable XLA composition (numerically identical — tested)
+        fused=not train,
     )  # [B, C, 256, 256], [B, C]
 
     if cfg.multimask_output:

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from cor_tpu.ops.attention import attention_heads, attention_qkv, init_attention_qkv
 from cor_tpu.ops.pallas.layernorm import add_layer_norm_pallas
+from cor_tpu.ops.pallas.upscale import fused_upscale2_hyper
 from cor_tpu.ops.common import (
     Params,
     _torch_uniform,
@@ -201,9 +202,14 @@ def two_way_transformer(
 
     fa = p["final_attn_t2i"]
     q = queries + query_pe
-    k_img = dense(fa["k_proj"], keys) + _matmul_nobias(fa["k_proj"], key_pe)
+    # fused k+v projection: one GEMM reads `keys` once
+    w_kv = jnp.concatenate([fa["k_proj"]["w"], fa["v_proj"]["w"]], axis=1).astype(keys.dtype)
+    b_kv = jnp.concatenate([fa["k_proj"]["b"], fa["v_proj"]["b"]]).astype(jnp.float32)
+    kv = (jnp.dot(keys, w_kv, preferred_element_type=jnp.float32) + b_kv).astype(keys.dtype)
+    internal = fa["k_proj"]["w"].shape[1]
+    k_img = kv[..., :internal] + _matmul_nobias(fa["k_proj"], key_pe)
     attn_out = attention_heads(
-        dense(fa["q_proj"], q), k_img, dense(fa["v_proj"], keys), cfg.num_heads
+        dense(fa["q_proj"], q), k_img, kv[..., internal:], cfg.num_heads
     )
     queries = queries + dense(fa["out_proj"], attn_out)
     queries = layer_norm(p["norm_final"], queries, eps=1e-5)
@@ -287,6 +293,7 @@ def mask_decoder(
     dense_prompt_embeddings: jax.Array,  # [B, H, W, C]
     cfg: MaskDecoderConfig,
     multimask_output: bool,
+    fused: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (masks [B, n_out, 4H, 4W], iou_pred [B, n_out], src [B, HW, C])."""
     B, H, W, C = image_embeddings.shape
@@ -312,8 +319,6 @@ def mask_decoder(
     x = _conv_transpose_2x(up["convt1"], src_grid)
     x = layer_norm(up["ln"], x, eps=1e-6)
     x = gelu(x)
-    x = _conv_transpose_2x(up["convt2"], x)
-    upscaled = gelu(x)  # [B, 4H, 4W, C//8]
 
     # hypernetwork: per-mask-token 3-layer ReLU MLP -> weights for the
     # channel dot-product against the upscaled embedding. The reference
@@ -329,12 +334,21 @@ def mask_decoder(
         ],
         axis=1,
     )  # [B, n_out, C//8]
-    masks = jnp.einsum(
-        "bnc,bhwc->bnhw",
-        hyper_in,
-        upscaled,
-        preferred_element_type=jnp.float32,
-    ).astype(image_embeddings.dtype)  # [B, n_out, 4H, 4W]
+
+    if fused:
+        # forward-only Pallas fusion of convT2 + GELU + hyper contraction —
+        # never materializes the [B, 4H, 4W, C//8] intermediate
+        masks = fused_upscale2_hyper(
+            x, up["convt2"]["w"].astype(x.dtype), up["convt2"]["b"], hyper_in
+        ).astype(image_embeddings.dtype)
+    else:
+        upscaled = gelu(_conv_transpose_2x(up["convt2"], x))  # [B, 4H, 4W, C//8]
+        masks = jnp.einsum(
+            "bnc,bhwc->bnhw",
+            hyper_in,
+            upscaled,
+            preferred_element_type=jnp.float32,
+        ).astype(image_embeddings.dtype)  # [B, n_out, 4H, 4W]
 
     iou_pred = mlp_stack(p["iou_prediction_head"], iou_token_out)  # [B, nmt]
     iou_pred = iou_pred[:, 1:] if multimask_output else iou_pred[:, 0:1]
