@@ -106,8 +106,12 @@ def main(argv=None):
         train_loader = get_train_loader(cfg)
         val_loader = get_valid_loader(cfg)
 
-    trainer = Trainer(cfg, state, tx, schedule, logger)
+    from cor_tpu.utils.observability import SummaryWriter
+
+    writer = SummaryWriter(Path(cfg.train_model_save_path) / "tb")
+    trainer = Trainer(cfg, state, tx, schedule, logger, writer=writer)
     best = trainer.fit(train_loader, val_loader, start_epoch=start_epoch)
+    writer.close()
     logger.info(
         f"Best epoch {best.best_epoch}: "
         + ", ".join(f"{k}={v:.4f}" for k, v in best.best_metrics.items())
