@@ -40,9 +40,10 @@ def main() -> None:
     )
 
     Q = 16  # queries per pipeline iteration
-    K = 16  # candidates retrieved + mask-decoded per query
+    K = 64  # candidates retrieved + mask-decoded + IoU-re-ranked per query
     G = 4096  # gallery rows scored per query
     STORE = 128  # precomputed candidate image embeddings resident in HBM
+    CHUNK = 128  # decode micro-batch (bounds live [*, 4096, 256] activations)
 
     rng = np.random.default_rng(0)
     params = init_core_model(jax.random.PRNGKey(0), cfg)
@@ -78,26 +79,50 @@ def main() -> None:
             qfeat.astype(jnp.float32), gallery.T, preferred_element_type=jnp.float32
         )
         top_scores, top_idx = jax.lax.top_k(scores, K)  # [Q, K]
-        # 3) mask-decode every retrieved candidate
+        # 3) mask-decode every retrieved candidate (chunked micro-batches so
+        #    the [*, 4096, 256] decoder activations stay HBM-bounded), then
+        #    re-rank candidates by the decoder's predicted mask IoU
         flat_idx = top_idx.reshape(-1) % STORE  # [Q*K]
-        cand = cand_store[flat_idx]  # [Q*K, 64, 64, 256]
         prompts = jnp.repeat(qfeat, K, axis=0)[:, None, :]  # [Q*K, 1, 256]
-        B = Q * K
-        dense_e = prompt_encoder_dense(p["prompt_encoder"], B, cfg.prompt).astype(cfg.dtype)
+        dense_e = prompt_encoder_dense(p["prompt_encoder"], CHUNK, cfg.prompt).astype(cfg.dtype)
         image_pe = get_dense_pe(p["prompt_encoder"], cfg.prompt).astype(cfg.dtype)
-        masks, iou, _ = mask_decoder(
-            p["mask_decoder"],
-            cand.astype(cfg.dtype),
-            image_pe,
-            prompts.astype(cfg.dtype),
-            dense_e,
-            cfg.decoder,
-            multimask_output=False,
+
+        def decode_chunk(args):
+            idx_c, prompts_c = args
+            cand = cand_store[idx_c]  # [CHUNK, 64, 64, 256]
+            masks, iou, _ = mask_decoder(
+                p["mask_decoder"],
+                cand.astype(cfg.dtype),
+                image_pe,
+                prompts_c.astype(cfg.dtype),
+                dense_e,
+                cfg.decoder,
+                multimask_output=False,
+                fused=True,
+            )
+            # per-candidate summary: predicted IoU + mask area (kept small so
+            # the full mask tensor never leaves the chunk)
+            area = jnp.mean((masks > 0).astype(jnp.float32), axis=(1, 2, 3))
+            return iou[:, 0], area, masks.astype(jnp.float32).sum()
+
+        n_chunks = (Q * K) // CHUNK
+        iou_flat, area_flat, mask_sums = jax.lax.map(
+            decode_chunk,
+            (
+                flat_idx.reshape(n_chunks, CHUNK),
+                prompts.reshape(n_chunks, CHUNK, 1, 256),
+            ),
         )
+        # re-rank each query's K candidates by predicted mask quality
+        iou_qk = iou_flat.reshape(Q, K)
+        order = jnp.argsort(-iou_qk, axis=1)
+        reranked_idx = jnp.take_along_axis(top_idx, order, axis=1)
         # scalar checksum: fetching it on the host forces real completion
         # (block_until_ready returns at dispatch on the axon relay backend)
-        checksum = masks.astype(jnp.float32).sum() + top_scores.sum()
-        return top_scores, top_idx, masks, checksum
+        checksum = (
+            mask_sums.sum() + top_scores.sum() + area_flat.sum() + reranked_idx.sum()
+        )
+        return top_scores, reranked_idx, checksum
 
     fn = jax.jit(pipeline)
     args = (params, support_img, text, support_mask, gallery, cand_store)

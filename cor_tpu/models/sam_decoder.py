@@ -28,8 +28,8 @@ import jax
 import jax.numpy as jnp
 
 from cor_tpu.ops.attention import attention_heads, attention_qkv, init_attention_qkv
+from cor_tpu.ops.pallas.decoder_tail import fused_decoder_tail
 from cor_tpu.ops.pallas.layernorm import add_layer_norm_pallas
-from cor_tpu.ops.pallas.upscale import fused_upscale2_hyper
 from cor_tpu.ops.common import (
     Params,
     _torch_uniform,
@@ -316,9 +316,6 @@ def mask_decoder(
     # upscale 4x: [B, H, W, C] -> [B, 4H, 4W, C//8]
     src_grid = src_seq.reshape(B, H, W, C)
     up = p["output_upscaling"]
-    x = _conv_transpose_2x(up["convt1"], src_grid)
-    x = layer_norm(up["ln"], x, eps=1e-6)
-    x = gelu(x)
 
     # hypernetwork: per-mask-token 3-layer ReLU MLP -> weights for the
     # channel dot-product against the upscaled embedding. The reference
@@ -336,12 +333,23 @@ def mask_decoder(
     )  # [B, n_out, C//8]
 
     if fused:
-        # forward-only Pallas fusion of convT2 + GELU + hyper contraction —
-        # never materializes the [B, 4H, 4W, C//8] intermediate
-        masks = fused_upscale2_hyper(
-            x, up["convt2"]["w"].astype(x.dtype), up["convt2"]["b"], hyper_in
+        # forward-only Pallas fusion of the whole tail (convT1 + LN + GELU +
+        # convT2 + GELU + hypernetwork dot) — the up-to-0.5 GB intermediates
+        # never leave VMEM (cor_tpu.ops.pallas.decoder_tail)
+        masks = fused_decoder_tail(
+            src_grid,
+            up["convt1"]["w"].astype(src_grid.dtype),
+            up["convt1"]["b"],
+            up["ln"]["scale"],
+            up["ln"]["bias"],
+            up["convt2"]["w"].astype(src_grid.dtype),
+            up["convt2"]["b"],
+            hyper_in,
         ).astype(image_embeddings.dtype)
     else:
+        x = _conv_transpose_2x(up["convt1"], src_grid)
+        x = layer_norm(up["ln"], x, eps=1e-6)
+        x = gelu(x)
         upscaled = gelu(_conv_transpose_2x(up["convt2"], x))  # [B, 4H, 4W, C//8]
         masks = jnp.einsum(
             "bnc,bhwc->bnhw",

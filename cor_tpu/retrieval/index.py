@@ -84,6 +84,7 @@ def make_candidate_mask_decoder(cfg: CoreConfig):
             dense_e,
             cfg.decoder,
             multimask_output=cfg.multimask_output,
+            fused=True,
         )
         if cfg.multimask_output:
             best = jnp.argmax(iou, axis=1)
