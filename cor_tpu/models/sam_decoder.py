@@ -29,7 +29,8 @@ import jax.numpy as jnp
 
 from cor_tpu.ops.attention import attention_heads, attention_qkv, init_attention_qkv
 from cor_tpu.ops.pallas.decoder_tail import fused_decoder_tail
-from cor_tpu.ops.pallas.layernorm import add_layer_norm_pallas
+from cor_tpu.ops.pallas.i2t_attention import i2t_attention_fused
+from cor_tpu.ops.pallas.projections import proj3_pe
 from cor_tpu.ops.common import (
     Params,
     _torch_uniform,
@@ -119,6 +120,7 @@ def _two_way_block(
     num_heads: int,
     skip_first_layer_pe: bool,
     ln_eps: float = 1e-5,
+    fused: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """One two-way block (reference: transformer.py:151-182).
 
@@ -136,25 +138,27 @@ def _two_way_block(
         queries = queries + attention_qkv(lp["self_attn"], q, q, queries, num_heads)
     queries = layer_norm(lp["norm1"], queries, eps=ln_eps)
 
-    # Image-side projections: t2i.k, t2i.v and i2t.q all consume `keys` —
-    # concatenate their weights into ONE [C, 3*internal] GEMM so the
-    # [B, 4096, C] operand is read from HBM once instead of three times.
+    # Image-side projections: t2i.k, t2i.v and i2t.q all consume `keys`.
     # key_pe enters through the linear projections only (bias-free pe path),
-    # so this equals the reference's proj(keys + key_pe) exactly.
+    # so proj(keys) + proj(key_pe) equals the reference's proj(keys + key_pe).
+    # On inference paths a multi-output Pallas kernel reads the keys tile
+    # once and emits all three projections (XLA would materialize the slices
+    # of a concatenated GEMM as separate full passes).
     t2i, i2t = lp["cross_attn_t2i"], lp["cross_attn_i2t"]
-    w_cat = jnp.concatenate(
-        [t2i["k_proj"]["w"], t2i["v_proj"]["w"], i2t["q_proj"]["w"]], axis=1
-    ).astype(keys.dtype)
-    b_cat = jnp.concatenate(
-        [t2i["k_proj"]["b"], t2i["v_proj"]["b"], i2t["q_proj"]["b"]]
-    ).astype(jnp.float32)
-    proj = (
-        jnp.dot(keys, w_cat, preferred_element_type=jnp.float32) + b_cat
-    ).astype(keys.dtype)
-    internal = t2i["k_proj"]["w"].shape[1]
-    k_img = proj[..., :internal] + _matmul_nobias(t2i["k_proj"], key_pe)
-    v_img = proj[..., internal : 2 * internal]
-    q_img = proj[..., 2 * internal :] + _matmul_nobias(i2t["q_proj"], key_pe)
+    kpe = _matmul_nobias(t2i["k_proj"], key_pe)
+    qpe = _matmul_nobias(i2t["q_proj"], key_pe)
+    if fused:
+        k_img, v_img, q_img = proj3_pe(
+            keys,
+            t2i["k_proj"]["w"], t2i["k_proj"]["b"],
+            t2i["v_proj"]["w"], t2i["v_proj"]["b"],
+            i2t["q_proj"]["w"], i2t["q_proj"]["b"],
+            kpe[0], qpe[0],
+        )
+    else:
+        k_img = dense(t2i["k_proj"], keys) + kpe
+        v_img = dense(t2i["v_proj"], keys)
+        q_img = dense(i2t["q_proj"], keys) + qpe
 
     # token -> image cross-attention
     q = queries + query_pe
@@ -166,16 +170,30 @@ def _two_way_block(
     queries = queries + mlp_block(lp["mlp"], queries, act=jax.nn.relu)
     queries = layer_norm(lp["norm3"], queries, eps=ln_eps)
 
-    # image -> token cross-attention (image side is the attention query);
-    # fused residual-add + LayerNorm Pallas pass on the way out
+    # image -> token cross-attention (image side is the attention query).
+    # Only ~6 token keys: the whole attention + out_proj + residual + LN is
+    # tile-local over the image rows and fuses into one Pallas pass.
     q = queries + query_pe
-    attn_out = attention_heads(
-        q_img, dense(i2t["k_proj"], q), dense(i2t["v_proj"], queries), num_heads
-    )
-    attn_out = dense(i2t["out_proj"], attn_out)
-    keys = add_layer_norm_pallas(
-        keys, attn_out, lp["norm4"]["scale"], lp["norm4"]["bias"], eps=ln_eps
-    )
+    k_tok = dense(i2t["k_proj"], q)
+    v_tok = dense(i2t["v_proj"], queries)
+    if fused:
+        keys = i2t_attention_fused(
+            q_img,
+            keys,
+            k_tok,
+            v_tok,
+            i2t["out_proj"]["w"],
+            i2t["out_proj"]["b"],
+            lp["norm4"]["scale"],
+            lp["norm4"]["bias"],
+            num_heads=num_heads,
+            eps=ln_eps,
+        )
+    else:
+        attn_out = dense(
+            i2t["out_proj"], attention_heads(q_img, k_tok, v_tok, num_heads)
+        )
+        keys = layer_norm(lp["norm4"], keys + attn_out, eps=ln_eps)
     return queries, keys
 
 
@@ -185,6 +203,7 @@ def two_way_transformer(
     image_pe: jax.Array,  # [B or 1, H, W, C]
     point_embedding: jax.Array,  # [B, N_tokens, C]
     cfg: TwoWayTransformerConfig,
+    fused: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     B, H, W, C = image_embedding.shape
     keys = image_embedding.reshape(B, H * W, C)
@@ -197,19 +216,15 @@ def two_way_transformer(
 
     for i, lp in enumerate(p["layers"]):
         queries, keys = _two_way_block(
-            lp, queries, keys, query_pe, key_pe, cfg.num_heads, skip_first_layer_pe=(i == 0)
+            lp, queries, keys, query_pe, key_pe, cfg.num_heads,
+            skip_first_layer_pe=(i == 0), fused=fused,
         )
 
     fa = p["final_attn_t2i"]
     q = queries + query_pe
-    # fused k+v projection: one GEMM reads `keys` once
-    w_kv = jnp.concatenate([fa["k_proj"]["w"], fa["v_proj"]["w"]], axis=1).astype(keys.dtype)
-    b_kv = jnp.concatenate([fa["k_proj"]["b"], fa["v_proj"]["b"]]).astype(jnp.float32)
-    kv = (jnp.dot(keys, w_kv, preferred_element_type=jnp.float32) + b_kv).astype(keys.dtype)
-    internal = fa["k_proj"]["w"].shape[1]
-    k_img = kv[..., :internal] + _matmul_nobias(fa["k_proj"], key_pe)
+    k_img = dense(fa["k_proj"], keys) + _matmul_nobias(fa["k_proj"], key_pe)
     attn_out = attention_heads(
-        dense(fa["q_proj"], q), k_img, kv[..., internal:], cfg.num_heads
+        dense(fa["q_proj"], q), k_img, dense(fa["v_proj"], keys), cfg.num_heads
     )
     queries = queries + dense(fa["out_proj"], attn_out)
     queries = layer_norm(p["norm_final"], queries, eps=1e-5)
@@ -308,7 +323,7 @@ def mask_decoder(
     src = image_embeddings + dense_prompt_embeddings
 
     hs, src_seq = two_way_transformer(
-        p["transformer"], src, image_pe, tokens, cfg.transformer
+        p["transformer"], src, image_pe, tokens, cfg.transformer, fused=fused
     )
     iou_token_out = hs[:, 0, :]
     mask_tokens_out = hs[:, 1 : 1 + nmt, :]  # [B, nmt, C]

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from cor_tpu.ops.attention import attention_qkv, attention_seq, init_attention_qkv, init_attention_seq
+from cor_tpu.ops.pallas.layernorm import layer_norm_pallas
 from cor_tpu.ops.common import (
     Params,
     _torch_uniform,
@@ -123,9 +124,13 @@ def _init_block(key: jax.Array, width: int, mlp_hidden: int) -> Params:
     }
 
 
+def _ln(p: Params, x: jax.Array, eps: float) -> jax.Array:
+    return layer_norm(p, x, eps=eps)
+
+
 def _block(bp: Params, x: jax.Array, num_heads: int, eps: float) -> jax.Array:
-    x = x + attention_seq(bp["attn"], layer_norm(bp["norm1"], x, eps), num_heads)
-    x = x + mlp_block(bp["mlp"], layer_norm(bp["norm2"], x, eps))
+    x = x + attention_seq(bp["attn"], _ln(bp["norm1"], x, eps), num_heads)
+    x = x + mlp_block(bp["mlp"], _ln(bp["norm2"], x, eps))
     return x
 
 
@@ -204,7 +209,7 @@ def siglip_vision(
     x = x + p["pos_embed"].astype(x.dtype)
     for bp in p["blocks"]:
         x = _block(bp, x, cfg.num_heads, cfg.ln_eps)
-    tokens = layer_norm(p["norm"], x, cfg.ln_eps)  # [B, N, width]
+    tokens = _ln(p["norm"], x, cfg.ln_eps)  # [B, N, width]
     pooled = _map_head(p["attn_pool"], tokens, cfg.num_heads, cfg.ln_eps)
     grid_tokens = tokens.reshape(B, g, g, cfg.width)
     return pooled, grid_tokens
@@ -239,7 +244,7 @@ def siglip_text(p: Params, token_ids: jax.Array, cfg: SigLIPTextConfig) -> jax.A
     x = x + p["positional_embedding"][None].astype(x.dtype)
     for bp in p["blocks"]:
         x = _block(bp, x, cfg.num_heads, cfg.ln_eps)
-    x = layer_norm(p["ln_final"], x, cfg.ln_eps)
+    x = _ln(p["ln_final"], x, cfg.ln_eps)
     pooled = x[:, -1]
     return dense(p["text_projection"], pooled)
 

@@ -62,7 +62,14 @@ def _kernel(x_ref, w1_ref, b1_ref, m_ref, g1_ref, g2_ref, w2_ref, b2_ref, h_ref,
     y = y + b2_ref[:].astype(jnp.float32)
     y = _gelu_exact(y)
 
-    m_out = jnp.dot(y.astype(x.dtype), h_ref[0], preferred_element_type=jnp.float32)
+    # emit TRANSPOSED [16N, T]: the row-tile lands on the 128-lane axis of the
+    # output store (a [T, 16N] store would use only 16N of 128 lanes)
+    m_out = jax.lax.dot_general(
+        h_ref[0],  # [16O2, 16N]
+        y.astype(x.dtype),  # [T, 16O2]
+        dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [16N, T]
     o_ref[0] = m_out.astype(o_ref.dtype)
 
 
@@ -114,7 +121,7 @@ def fused_decoder_tail(
 
     raw = pl.pallas_call(
         functools.partial(_kernel, eps=eps),
-        out_shape=jax.ShapeDtypeStruct((B, n_rows, 16 * N), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, 16 * N, n_rows), jnp.float32),
         grid=(B, n_rows // tile),
         in_specs=[
             pl.BlockSpec((1, tile, C), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
@@ -128,13 +135,13 @@ def fused_decoder_tail(
             pl.BlockSpec((1, 16 * O2, 16 * N), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, tile, 16 * N), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            (1, 16 * N, tile), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
         ),
         interpret=_interpret(),
     )(x2, w1r, b1t, mean_m, g1, g2, w2blk, b2t, h_blk)
 
-    # (p, q, r, s, n) minor -> [B, N, 4H, 4W]: rows interleave (i, p, r),
-    # cols (j, q, s) — pure transpose + reshape, fused by XLA
-    m = raw.reshape(B, H, W, 2, 2, 2, 2, N)
-    m = m.transpose(0, 7, 1, 3, 5, 2, 4, 6)  # [B, N, H, 2, 2, W, 2, 2]
+    # raw is [B, (p, q, r, s, n), H*W]; output pixel (4i+2p+r, 4j+2q+s) —
+    # pure transpose + reshape, fused by XLA
+    m = raw.reshape(B, 2, 2, 2, 2, N, H, W)
+    m = m.transpose(0, 5, 6, 1, 3, 7, 2, 4)  # [B, N, H, p, r, W, q, s]
     return m.reshape(B, N, 4 * H, 4 * W)
