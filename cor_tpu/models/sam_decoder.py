@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from cor_tpu.ops.attention import attention_heads, attention_qkv, init_attention_qkv
 from cor_tpu.ops.pallas.decoder_tail import fused_decoder_tail
 from cor_tpu.ops.pallas.i2t_attention import i2t_attention_fused
-from cor_tpu.ops.pallas.projections import proj3_pe
+from cor_tpu.ops.pallas.t2i_flash import proj_q_t2i_flash, t2i_flash_kv
 from cor_tpu.ops.common import (
     Params,
     _torch_uniform,
@@ -147,23 +147,27 @@ def _two_way_block(
     t2i, i2t = lp["cross_attn_t2i"], lp["cross_attn_i2t"]
     kpe = _matmul_nobias(t2i["k_proj"], key_pe)
     qpe = _matmul_nobias(i2t["q_proj"], key_pe)
+    q = queries + query_pe
+    q_tok_t2i = dense(t2i["q_proj"], q)
     if fused:
-        k_img, v_img, q_img = proj3_pe(
+        # one streaming pass: k/v projections stay in VMEM and feed a flash
+        # token->image attention; q_img (for the later image->token attention)
+        # is emitted alongside (cor_tpu.ops.pallas.t2i_flash)
+        q_img, t2i_out = proj_q_t2i_flash(
             keys,
             t2i["k_proj"]["w"], t2i["k_proj"]["b"],
             t2i["v_proj"]["w"], t2i["v_proj"]["b"],
             i2t["q_proj"]["w"], i2t["q_proj"]["b"],
-            kpe[0], qpe[0],
+            kpe[0], qpe[0], q_tok_t2i, num_heads,
         )
     else:
         k_img = dense(t2i["k_proj"], keys) + kpe
         v_img = dense(t2i["v_proj"], keys)
         q_img = dense(i2t["q_proj"], keys) + qpe
+        t2i_out = attention_heads(q_tok_t2i, k_img, v_img, num_heads)
 
-    # token -> image cross-attention
-    q = queries + query_pe
-    attn_out = attention_heads(dense(t2i["q_proj"], q), k_img, v_img, num_heads)
-    queries = queries + dense(t2i["out_proj"], attn_out)
+    # token -> image cross-attention epilogue
+    queries = queries + dense(t2i["out_proj"], t2i_out)
     queries = layer_norm(lp["norm2"], queries, eps=ln_eps)
 
     # token MLP (ReLU — reference transformer uses activation=nn.ReLU default)
@@ -222,10 +226,18 @@ def two_way_transformer(
 
     fa = p["final_attn_t2i"]
     q = queries + query_pe
-    k_img = dense(fa["k_proj"], keys) + _matmul_nobias(fa["k_proj"], key_pe)
-    attn_out = attention_heads(
-        dense(fa["q_proj"], q), k_img, dense(fa["v_proj"], keys), cfg.num_heads
-    )
+    q_tok = dense(fa["q_proj"], q)
+    kpe = _matmul_nobias(fa["k_proj"], key_pe)
+    if fused:
+        attn_out = t2i_flash_kv(
+            keys,
+            fa["k_proj"]["w"], fa["k_proj"]["b"],
+            fa["v_proj"]["w"], fa["v_proj"]["b"],
+            kpe[0], q_tok, cfg.num_heads,
+        )
+    else:
+        k_img = dense(fa["k_proj"], keys) + kpe
+        attn_out = attention_heads(q_tok, k_img, dense(fa["v_proj"], keys), cfg.num_heads)
     queries = queries + dense(fa["out_proj"], attn_out)
     queries = layer_norm(p["norm_final"], queries, eps=1e-5)
     return queries, keys
