@@ -125,7 +125,9 @@ def _init_block(key: jax.Array, width: int, mlp_hidden: int) -> Params:
 
 
 def _ln(p: Params, x: jax.Array, eps: float) -> jax.Array:
-    return layer_norm(p, x, eps=eps)
+    # single-pass Pallas LayerNorm; safe on all paths (towers frozen under
+    # stop_gradient); falls back to XLA off-TPU / odd shapes
+    return layer_norm_pallas(x, p["scale"], p["bias"], eps=eps)
 
 
 def _block(bp: Params, x: jax.Array, num_heads: int, eps: float) -> jax.Array:

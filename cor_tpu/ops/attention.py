@@ -235,16 +235,15 @@ def init_attention_seq(key: jax.Array, dim: int, qkv_bias: bool = True) -> Param
 
 
 def attention_seq(p: Params, x: jax.Array, num_heads: int) -> jax.Array:
-    """Standard fused-QKV self-attention over [B, N, C] (no mask)."""
-    B, N, C = x.shape
-    head_dim = C // num_heads
-    qkv = dense(p["qkv"], x).reshape(B, N, 3, num_heads, head_dim)
-    qkv = qkv.transpose(2, 0, 3, 1, 4)
-    q, k, v = qkv[0], qkv[1], qkv[2]
-    attn = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-    ) / (head_dim**0.5)
-    attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v, preferred_element_type=jnp.float32)
-    out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(B, N, C)
+    """Standard fused-QKV self-attention over [B, N, C] (no mask).
+
+    The softmax(qk^T)v core runs as a Pallas whole-sequence-in-VMEM kernel —
+    XLA would round-trip the fp32 [B, H, N, N] logits through HBM, which
+    dominates the SigLIP towers' runtime. Only used under frozen towers
+    (stop_gradient), so the forward-only kernel is safe on training paths.
+    """
+    from cor_tpu.ops.pallas.seq_attention import attention_seq_qkv_pallas
+
+    qkv = dense(p["qkv"], x)  # [B, N, 3C], heads contiguous per third
+    out = attention_seq_qkv_pallas(qkv, num_heads)
     return dense(p["proj"], out)
