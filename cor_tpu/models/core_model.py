@@ -138,6 +138,16 @@ def core_forward(
     """
     cdt = cfg.dtype
     p = _cast(params, cdt)
+    # stop-gradient the FROZEN param subtrees (not just their outputs):
+    # leaves with tangents force JAX to linearize every op they touch, which
+    # (a) builds dead backward graphs and (b) breaks on forward-only Pallas
+    # kernels inside the frozen towers. With param-level stop_gradient those
+    # subgraphs are primal-only.
+    p = dict(p)
+    p["image_encoder"] = jax.tree.map(jax.lax.stop_gradient, p["image_encoder"])
+    sb = dict(p["support_branch"])
+    sb["siglip"] = jax.tree.map(jax.lax.stop_gradient, sb["siglip"])
+    p["support_branch"] = sb
 
     q = query_images.astype(cdt)
     s = support_images.astype(cdt)
