@@ -300,15 +300,17 @@ def _conv_transpose_2x(p: Params, x: jax.Array) -> jax.Array:
     """
     w = p["w"].astype(x.dtype)  # [C, 2, 2, O]
     k = w.transpose(1, 2, 0, 3)[::-1, ::-1]  # [2, 2, C, O], pre-flipped
+    # NOTE: no preferred_element_type here — its VJP rule produces a
+    # mixed-dtype conv_general_dilated (bf16 kernel x fp32 cotangent) that
+    # fails to trace; the TPU MXU accumulates in fp32 internally regardless.
     y = jax.lax.conv_transpose(
         x,
         k,
         strides=(2, 2),
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
-    y = y + p["b"].astype(jnp.float32)
+    y = y + p["b"].astype(x.dtype)
     return y.astype(x.dtype)
 
 

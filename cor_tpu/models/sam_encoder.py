@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from cor_tpu.ops.attention import (
     attention_2d,
+    attention_2d_fused,
     init_attention_2d,
     window_partition,
     window_unpartition,
@@ -58,6 +59,9 @@ class SamEncoderConfig:
     window_size: int = 14
     global_attn_indexes: Tuple[int, ...] = (2, 5, 8, 11)
     ln_eps: float = 1e-6  # torch nn.LayerNorm default is 1e-5; SAM passes 1e-6
+    # Pallas VMEM-resident rel-pos attention (the encoder is frozen in CORE,
+    # so the forward-only kernel is safe on every path; small dims fall back)
+    fused_attention: bool = True
 
     @property
     def grid(self) -> int:
@@ -143,7 +147,8 @@ def _block(bp: Params, x: jax.Array, cfg: SamEncoderConfig, window: int) -> jax.
     if window > 0:
         H, W = x.shape[1], x.shape[2]
         x, pad_hw = window_partition(x, window)
-    x = attention_2d(bp["attn"], x, cfg.num_heads)
+    attn_fn = attention_2d_fused if cfg.fused_attention else attention_2d
+    x = attn_fn(bp["attn"], x, cfg.num_heads)
     if window > 0:
         x = window_unpartition(x, window, pad_hw, (H, W))
     x = shortcut + x

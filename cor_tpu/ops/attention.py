@@ -130,6 +130,37 @@ def init_attention_2d(
     return p
 
 
+def attention_2d_fused(p: Params, x: jax.Array, num_heads: int) -> jax.Array:
+    """attention_2d via the Pallas VMEM-resident rel-pos kernel
+    (cor_tpu.ops.pallas.vit_attention): logits + decomposed bias + softmax
+    never leave VMEM. Numerics oracle: attention_2d (tested)."""
+    from cor_tpu.ops.pallas.vit_attention import vit_attention_relpos_pallas
+
+    B, H, W, C = x.shape
+    N = H * W
+    head_dim = C // num_heads
+    if C % 128 != 0 or 128 % head_dim != 0 or "rel_pos_h" not in p:
+        return attention_2d(p, x, num_heads)
+
+    qkv = dense(p["qkv"], x.reshape(B, N, C))  # [B, N, 3C]
+    r_q = qkv[..., :C].reshape(B, H, W, num_heads, head_dim)
+    Rh = get_rel_pos(H, H, p["rel_pos_h"]).astype(jnp.float32)
+    Rw = get_rel_pos(W, W, p["rel_pos_w"]).astype(jnp.float32)
+    rel_h = jnp.einsum(
+        "bijhd,ikd->bhijk", r_q.astype(jnp.float32), Rh
+    ).reshape(B, num_heads, N, H)
+    rel_w = jnp.einsum(
+        "bijhd,jkd->bhijk", r_q.astype(jnp.float32), Rw
+    ).reshape(B, num_heads, N, W)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0).reshape(-1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1).reshape(-1)
+    eh = (jnp.arange(H)[:, None] == rows[None, :]).astype(jnp.float32)
+    ew = (jnp.arange(W)[:, None] == cols[None, :]).astype(jnp.float32)
+
+    out = vit_attention_relpos_pallas(qkv, rel_h, rel_w, eh, ew, num_heads)
+    return dense(p["proj"], out.reshape(B, H, W, C))
+
+
 def attention_2d(p: Params, x: jax.Array, num_heads: int) -> jax.Array:
     """Multi-head self-attention over an NHWC token grid with optional
     decomposed rel-pos bias (reference: lib/sam_model/image_encoder.py:225-241).

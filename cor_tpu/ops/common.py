@@ -100,6 +100,9 @@ def conv2d(
         padding = ((padding, padding), (padding, padding))
     elif isinstance(padding, tuple):
         padding = ((padding[0], padding[0]), (padding[1], padding[1]))
+    # NOTE: no preferred_element_type — its conv VJP rule emits a mixed-dtype
+    # conv_general_dilated (bf16 kernel x fp32 cotangent) that fails to
+    # trace; the TPU MXU accumulates in fp32 internally regardless.
     y = jax.lax.conv_general_dilated(
         x,
         p["w"].astype(x.dtype),
@@ -107,10 +110,9 @@ def conv2d(
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
     )
     if "b" in p:
-        y = y + p["b"].astype(jnp.float32)
+        y = y + p["b"].astype(x.dtype)
     return y.astype(x.dtype)
 
 
