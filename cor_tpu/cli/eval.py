@@ -47,13 +47,20 @@ def main(argv=None):
             # reference: my_test.py:117-185)
             sd = load_torch_state_dict(str(ckpt))
             sig = core_cfg.support.siglip
-            params = convert_core_checkpoint(
+            loaded = convert_core_checkpoint(
                 sd,
                 encoder_depth=core_cfg.encoder.depth,
                 siglip_vision_depth=sig.vision.depth,
                 siglip_text_depth=sig.text.depth,
                 mask_pooling=cfg.mask_pooling,
             )
+            from cor_tpu.utils.convert import audit_params
+
+            audit = audit_params(params, loaded)
+            for kind, keys in audit.items():
+                if keys:
+                    logger.info(f"[ckpt audit] {kind} ({len(keys)}): {keys[:10]}")
+            params = loaded
             logger.info(f"Loaded torch CORE checkpoint: {ckpt}")
         else:
             restored = restore_checkpoint(ckpt.parent, ckpt.name, {"params": params})

@@ -55,6 +55,9 @@ class TrainConfig:
     mesh_data: Optional[int] = None  # None -> all devices
     mesh_model: int = 1
     log_every: int = 10
+    # ZeRO-1 analog: shard optimizer-state leaves over the data axis
+    # (the reference's DeepSpeed option — my_train_a.py:208-213)
+    shard_optimizer_state: bool = False
 
     def core_config(self) -> CoreConfig:
         return CoreConfig(

@@ -6,6 +6,7 @@ from cor_tpu.parallel.mesh import (
     replicated,
     shard_batch,
 )
+from cor_tpu.parallel.sharding import opt_state_sharding_tree, shard_opt_state
 
 __all__ = [
     "DATA_AXIS",
@@ -14,4 +15,6 @@ __all__ = [
     "batch_sharding",
     "replicated",
     "shard_batch",
+    "opt_state_sharding_tree",
+    "shard_opt_state",
 ]

@@ -66,6 +66,12 @@ class Trainer:
             data=cfg.mesh_data, model=cfg.mesh_model
         )
         self.state = jax.device_put(state, replicated(self.mesh))
+        if getattr(cfg, "shard_optimizer_state", False):
+            from cor_tpu.parallel import shard_opt_state
+
+            self.state = self.state._replace(
+                opt_state=shard_opt_state(self.mesh, self.state.opt_state)
+            )
         self.tx = tx
         self.lr_schedule = lr_schedule
         self.logger = logger

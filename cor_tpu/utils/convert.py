@@ -39,6 +39,26 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     return {k: v.float().numpy() for k, v in obj.items()}
 
 
+def audit_params(expected: Params, loaded: Params) -> Dict[str, list]:
+    """Missing / unexpected / shape-changed parameter audit
+    (reference: my_test.py:126-170 logs the same three classes on load)."""
+
+    import jax
+
+    def flat(tree):
+        out = {}
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            out[jax.tree_util.keystr(path)] = np.shape(leaf)
+        return out
+
+    e, l = flat(expected), flat(loaded)
+    return {
+        "missing": sorted(set(e) - set(l)),
+        "unexpected": sorted(set(l) - set(e)),
+        "mismatched": sorted(k for k in set(e) & set(l) if e[k] != l[k]),
+    }
+
+
 def strip_ddp_prefix(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """Remove DDP 'module.' prefixes (reference: my_test.py:126-135)."""
     return {
@@ -264,6 +284,71 @@ def load_siglip_weights(params: Params, siglip_ckpt_path: str, vision_depth: int
     }
     out["support_branch"] = sb
     return out
+
+
+def convert_siglip_hf(sd: Mapping[str, np.ndarray], vision_depth: int, text_depth: int) -> Params:
+    """HF-transformers SiglipModel dialect (the reference ships an unused HF
+    wrapper alternative — lib/support_model/siglip_hugginface.py).
+
+    HF naming: vision_model.embeddings.{patch_embedding,position_embedding},
+    vision_model.encoder.layers.{i}.{layer_norm1,self_attn.{q,k,v,out}_proj,
+    layer_norm2,mlp.{fc1,fc2}}, vision_model.post_layernorm, vision_model.head
+    (MAP pool: probe/attention/layernorm/mlp); text_model.* analogous with
+    final_layer_norm + head (projection).
+    """
+
+    def block(prefix):
+        # HF keeps q/k/v separate; fuse into our qkv layout
+        qw = sd[f"{prefix}.self_attn.q_proj.weight"]
+        kw = sd[f"{prefix}.self_attn.k_proj.weight"]
+        vw = sd[f"{prefix}.self_attn.v_proj.weight"]
+        qb = sd[f"{prefix}.self_attn.q_proj.bias"]
+        kb = sd[f"{prefix}.self_attn.k_proj.bias"]
+        vb = sd[f"{prefix}.self_attn.v_proj.bias"]
+        return {
+            "norm1": _ln(sd, f"{prefix}.layer_norm1"),
+            "attn": {
+                "qkv": {
+                    "w": np.concatenate([qw, kw, vw], axis=0).T.copy(),
+                    "b": np.concatenate([qb, kb, vb]).copy(),
+                },
+                "proj": _lin(sd, f"{prefix}.self_attn.out_proj"),
+            },
+            "norm2": _ln(sd, f"{prefix}.layer_norm2"),
+            "mlp": _mlp(sd, f"{prefix}.mlp", names=("fc1", "fc2")),
+        }
+
+    v = "vision_model"
+    visual: Params = {
+        "patch_embed": _patchify(sd, f"{v}.embeddings.patch_embedding"),
+        "pos_embed": sd[f"{v}.embeddings.position_embedding.weight"][None].copy(),
+        "blocks": [block(f"{v}.encoder.layers.{i}") for i in range(vision_depth)],
+        "norm": _ln(sd, f"{v}.post_layernorm"),
+        "attn_pool": {
+            "latent": sd[f"{v}.head.probe"].copy(),
+            # HF MAP head uses a fused in-proj MultiheadAttention
+            "q": {
+                "w": sd[f"{v}.head.attention.in_proj_weight"][: sd[f"{v}.head.probe"].shape[-1]].T.copy(),
+                "b": sd[f"{v}.head.attention.in_proj_bias"][: sd[f"{v}.head.probe"].shape[-1]].copy(),
+            },
+            "kv": {
+                "w": sd[f"{v}.head.attention.in_proj_weight"][sd[f"{v}.head.probe"].shape[-1] :].T.copy(),
+                "b": sd[f"{v}.head.attention.in_proj_bias"][sd[f"{v}.head.probe"].shape[-1] :].copy(),
+            },
+            "proj": _lin(sd, f"{v}.head.attention.out_proj"),
+            "norm": _ln(sd, f"{v}.head.layernorm"),
+            "mlp": _mlp(sd, f"{v}.head.mlp", names=("fc1", "fc2")),
+        },
+    }
+    t = "text_model"
+    text: Params = {
+        "token_embedding": sd[f"{t}.embeddings.token_embedding.weight"].copy(),
+        "positional_embedding": sd[f"{t}.embeddings.position_embedding.weight"].copy(),
+        "blocks": [block(f"{t}.encoder.layers.{i}") for i in range(text_depth)],
+        "ln_final": _ln(sd, f"{t}.final_layer_norm"),
+        "text_projection": _lin(sd, f"{t}.head"),
+    }
+    return {"visual": visual, "text": text}
 
 
 # ---------------------------------------------------------------------------

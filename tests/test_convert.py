@@ -256,3 +256,81 @@ def test_converted_params_run_forward(key, rng):
     y = sam_encoder(params, x, ENC)
     assert y.shape == (1, 4, 4, 16)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def fake_siglip_hf_sd(rng, v, t):
+    """HF SiglipModel key dialect."""
+    sd = {}
+    d = v.width
+    sd["vision_model.embeddings.patch_embedding.weight"] = _rand(rng, d, 3, v.patch_size, v.patch_size)
+    sd["vision_model.embeddings.patch_embedding.bias"] = _rand(rng, d)
+    sd["vision_model.embeddings.position_embedding.weight"] = _rand(rng, v.num_patches, d)
+    for i in range(v.depth):
+        b = f"vision_model.encoder.layers.{i}"
+        for nm, shape in [
+            ("layer_norm1.weight", (d,)), ("layer_norm1.bias", (d,)),
+            ("self_attn.q_proj.weight", (d, d)), ("self_attn.q_proj.bias", (d,)),
+            ("self_attn.k_proj.weight", (d, d)), ("self_attn.k_proj.bias", (d,)),
+            ("self_attn.v_proj.weight", (d, d)), ("self_attn.v_proj.bias", (d,)),
+            ("self_attn.out_proj.weight", (d, d)), ("self_attn.out_proj.bias", (d,)),
+            ("layer_norm2.weight", (d,)), ("layer_norm2.bias", (d,)),
+            ("mlp.fc1.weight", (4 * d, d)), ("mlp.fc1.bias", (4 * d,)),
+            ("mlp.fc2.weight", (d, 4 * d)), ("mlp.fc2.bias", (d,)),
+        ]:
+            sd[f"{b}.{nm}"] = _rand(rng, *shape)
+    sd["vision_model.post_layernorm.weight"] = _rand(rng, d)
+    sd["vision_model.post_layernorm.bias"] = _rand(rng, d)
+    h = "vision_model.head"
+    sd[f"{h}.probe"] = _rand(rng, 1, 1, d)
+    sd[f"{h}.attention.in_proj_weight"] = _rand(rng, 3 * d, d)
+    sd[f"{h}.attention.in_proj_bias"] = _rand(rng, 3 * d)
+    sd[f"{h}.attention.out_proj.weight"] = _rand(rng, d, d)
+    sd[f"{h}.attention.out_proj.bias"] = _rand(rng, d)
+    sd[f"{h}.layernorm.weight"] = _rand(rng, d)
+    sd[f"{h}.layernorm.bias"] = _rand(rng, d)
+    sd[f"{h}.mlp.fc1.weight"] = _rand(rng, 4 * d, d)
+    sd[f"{h}.mlp.fc1.bias"] = _rand(rng, 4 * d)
+    sd[f"{h}.mlp.fc2.weight"] = _rand(rng, d, 4 * d)
+    sd[f"{h}.mlp.fc2.bias"] = _rand(rng, d)
+    td = t.width
+    sd["text_model.embeddings.token_embedding.weight"] = _rand(rng, t.vocab_size, td)
+    sd["text_model.embeddings.position_embedding.weight"] = _rand(rng, t.context_length, td)
+    for i in range(t.depth):
+        b = f"text_model.encoder.layers.{i}"
+        for nm, shape in [
+            ("layer_norm1.weight", (td,)), ("layer_norm1.bias", (td,)),
+            ("self_attn.q_proj.weight", (td, td)), ("self_attn.q_proj.bias", (td,)),
+            ("self_attn.k_proj.weight", (td, td)), ("self_attn.k_proj.bias", (td,)),
+            ("self_attn.v_proj.weight", (td, td)), ("self_attn.v_proj.bias", (td,)),
+            ("self_attn.out_proj.weight", (td, td)), ("self_attn.out_proj.bias", (td,)),
+            ("layer_norm2.weight", (td,)), ("layer_norm2.bias", (td,)),
+            ("mlp.fc1.weight", (4 * td, td)), ("mlp.fc1.bias", (4 * td,)),
+            ("mlp.fc2.weight", (td, 4 * td)), ("mlp.fc2.bias", (td,)),
+        ]:
+            sd[f"{b}.{nm}"] = _rand(rng, *shape)
+    sd["text_model.final_layer_norm.weight"] = _rand(rng, td)
+    sd["text_model.final_layer_norm.bias"] = _rand(rng, td)
+    sd["text_model.head.weight"] = _rand(rng, td, td)
+    sd["text_model.head.bias"] = _rand(rng, td)
+    return sd
+
+
+def test_convert_siglip_hf_structure(key, rng):
+    from tests.helpers import TINY_SIGLIP
+    from cor_tpu.models.siglip import init_siglip
+    from cor_tpu.utils.convert import convert_siglip_hf
+
+    sd = fake_siglip_hf_sd(rng, TINY_SIGLIP.vision, TINY_SIGLIP.text)
+    converted = convert_siglip_hf(sd, TINY_SIGLIP.vision.depth, TINY_SIGLIP.text.depth)
+    _same_structure(init_siglip(key, TINY_SIGLIP), converted)
+
+
+def test_audit_params(rng):
+    from cor_tpu.utils.convert import audit_params
+
+    expected = {"a": np.zeros((2, 2)), "b": {"c": np.zeros(3)}}
+    loaded = {"a": np.zeros((2, 3)), "b": {"d": np.zeros(3)}}
+    audit = audit_params(expected, loaded)
+    assert audit["mismatched"] == ["['a']"]
+    assert audit["missing"] == ["['b']['c']"]
+    assert audit["unexpected"] == ["['b']['d']"]
