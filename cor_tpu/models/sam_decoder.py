@@ -12,11 +12,17 @@ Parity targets:
   hyper_in @ upscaled (channel dot product), IoU-quality MLP head.
 
 TPU-first deltas:
-- NHWC layout; the 2x2/stride-2 transposed convs are expressed as einsum +
-  pixel-shuffle reshape (exact same math, avoids conv_transpose lowering and
-  keeps everything on the MXU).
+- NHWC layout; transposed convs use the native XLA lowering with pre-flipped
+  kernels; PE additions are decomposed through the linear projections.
+- Inference paths (fused=True) run hand-written Pallas kernels: flash
+  token->image attention with in-VMEM projections (ops/pallas/t2i_flash),
+  fully-fused image->token attention + out_proj + residual + LN
+  (ops/pallas/i2t_attention), and the whole upscale tail in one pass
+  (ops/pallas/decoder_tail). The training path keeps the differentiable XLA
+  composition; fused == unfused is asserted by tests.
 - `multimask` best-mask selection stays inside the compiled graph via
-  take_along_axis (reference does it in the top model, sam_with_sup_branch.py:96-100).
+  take_along_axis (reference does it in the top model, sam_with_sup_branch.py:96-100);
+  only the selected mask token's map is computed (gradient-identical).
 """
 
 from __future__ import annotations

@@ -11,8 +11,10 @@ attend over all 4096 tokens; decomposed rel-pos bias in every block; neck =
 
 Design deltas vs the reference (deliberate, TPU-first):
 - NHWC everywhere; the neck's 1x1 convs become channel matmuls.
-- Optional Pallas fused window-attention kernel for the hot path
-  (use_pallas_attn), with this XLA formulation as the numerics oracle.
+- Attention (both windowed and global) runs the Pallas VMEM-resident
+  rel-pos kernel (ops/pallas/vit_attention; cfg.fused_attention, on by
+  default) with the XLA formulation as numerics oracle — measured 5.5x
+  faster end-to-end on the flagship (100 -> 18 ms forward at B=1).
 """
 
 from __future__ import annotations

@@ -10,8 +10,10 @@ stride-2 transposed conv as one MXU GEMM (kernel reshaped to [C, 2*2*O]),
 applies GELU, contracts against the per-sample hypernetwork weights in VMEM,
 and writes only the [n, rows*2, W*2] mask tile.
 
-Forward-only (used on inference/retrieval paths); the training path keeps the
-differentiable XLA composition. Falls back to interpreter mode off-TPU.
+Forward-only; superseded on the hot path by ops/pallas/decoder_tail (which
+fuses the ENTIRE upscale chain) — kept as the simpler reference kernel and
+for its shared helpers (_interpret, _erf, _gelu_exact). Falls back to
+interpreter mode off-TPU.
 """
 
 from __future__ import annotations
