@@ -54,10 +54,15 @@ def main() -> None:
     gallery /= np.linalg.norm(gallery, axis=1, keepdims=True)
     gallery = jnp.asarray(gallery)
     # candidate SAM image embeddings [STORE, 64, 64, 256]; retrieved ids map
-    # into the store modulo its size (memory-bounded stand-in for an HBM shard)
+    # into the store modulo its size (memory-bounded stand-in for an HBM shard).
+    # The constant dense no-mask prompt is pre-baked into the store at
+    # indexing time (mask_decoder accepts dense=None), saving a full HBM pass
+    # per decode chunk.
     cand_store = jnp.asarray(
         rng.standard_normal((STORE, 64, 64, 256)).astype(np.float32), dtype=jnp.bfloat16
     )
+    no_mask = _cast(params, jnp.bfloat16)["prompt_encoder"]["no_mask_embed"][0]
+    cand_store = cand_store + no_mask
 
     support_img = jnp.asarray(rng.standard_normal((Q, 384, 384, 3), dtype=np.float32))
     text = jnp.asarray(rng.integers(2, 32000, (Q, 64)).astype(np.int32))
@@ -84,7 +89,6 @@ def main() -> None:
         #    re-rank candidates by the decoder's predicted mask IoU
         flat_idx = top_idx.reshape(-1) % STORE  # [Q*K]
         prompts = jnp.repeat(qfeat, K, axis=0)[:, None, :]  # [Q*K, 1, 256]
-        dense_e = prompt_encoder_dense(p["prompt_encoder"], CHUNK, cfg.prompt).astype(cfg.dtype)
         image_pe = get_dense_pe(p["prompt_encoder"], cfg.prompt).astype(cfg.dtype)
 
         def decode_chunk(args):
@@ -95,7 +99,7 @@ def main() -> None:
                 cand.astype(cfg.dtype),
                 image_pe,
                 prompts_c.astype(cfg.dtype),
-                dense_e,
+                None,  # dense prompt pre-baked into cand_store
                 cfg.decoder,
                 multimask_output=False,
                 fused=True,

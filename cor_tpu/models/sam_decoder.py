@@ -340,7 +340,13 @@ def mask_decoder(
     output_tokens = jnp.broadcast_to(output_tokens[None], (B, 1 + nmt, C))
     tokens = jnp.concatenate([output_tokens, sparse_prompt_embeddings], axis=1)
 
-    src = image_embeddings + dense_prompt_embeddings
+    # dense_prompt_embeddings=None means the caller pre-added the dense
+    # prompt (e.g. the retrieval engine bakes the constant no_mask_embed into
+    # its candidate store at indexing time — saves one full HBM pass)
+    if dense_prompt_embeddings is None:
+        src = image_embeddings
+    else:
+        src = image_embeddings + dense_prompt_embeddings
 
     hs, src_seq = two_way_transformer(
         p["transformer"], src, image_pe, tokens, cfg.transformer, fused=fused
