@@ -26,6 +26,12 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
+
     from cor_tpu.models.core_model import CoreConfig, _cast, init_core_model
     from cor_tpu.models.prompt_encoder import get_dense_pe, prompt_encoder_dense
     from cor_tpu.models.sam_decoder import mask_decoder

@@ -12,8 +12,6 @@ from __future__ import annotations
 import argparse
 from pathlib import Path
 
-import numpy as np
-
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description="cor_tpu evaluator")

@@ -20,7 +20,7 @@ from __future__ import annotations
 import hashlib
 import re
 import string
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 

@@ -21,7 +21,7 @@ backward, and (b) an optax.masked zero-update partition over the param tree
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 import jax

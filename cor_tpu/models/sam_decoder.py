@@ -41,7 +41,6 @@ from cor_tpu.ops.common import (
     Params,
     _torch_uniform,
     dense,
-    init_dense,
     init_layer_norm,
     init_mlp_block,
     init_mlp_stack,

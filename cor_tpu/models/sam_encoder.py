@@ -19,8 +19,8 @@ Design deltas vs the reference (deliberate, TPU-first):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Sequence, Tuple
+from dataclasses import dataclass
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from cor_tpu.ops.attention import attention_qkv, attention_seq, init_attention_qkv, init_attention_seq
+from cor_tpu.ops.attention import attention_seq, init_attention_seq
 from cor_tpu.ops.pallas.layernorm import layer_norm_pallas
 from cor_tpu.ops.common import (
     Params,

@@ -16,7 +16,6 @@ from dataclasses import dataclass
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 
 from cor_tpu.models.fusion import cir_fuse_compose, init_cir_fuse
 from cor_tpu.models.pooling import (

@@ -18,8 +18,6 @@ interpreter mode off-TPU.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -18,8 +18,7 @@ Parity targets:
 
 from __future__ import annotations
 
-import math
-from typing import Any, Callable, Dict
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ torch is used only to deserialize (torch.load, CPU).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Mapping
+from typing import Any, Dict, Mapping
 
 import numpy as np
 
