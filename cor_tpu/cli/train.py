@@ -80,22 +80,36 @@ def main(argv=None):
     state = create_train_state(params, tx)
 
     start_epoch = 1
+    explicit = bool(cfg.load_checkpoint_path)
     resume = cfg.load_checkpoint_path or latest_epoch_checkpoint(cfg.train_model_save_path)
     if resume and Path(str(cfg.train_model_save_path), str(resume)).exists():
-        template = {
+        # checkpoints are saved with or without a 'loss' entry (epoch saves
+        # carry one; best_model_full / interrupted saves don't) — probe both
+        base = {
             "params": state.params,
             "opt_state": state.opt_state,
             "step": state.step,
             "epoch": np.int32(0),
-            "loss": np.float32(0),
         }
-        try:
-            restored = restore_checkpoint(cfg.train_model_save_path, str(resume), template)
+        restored, last_err = None, None
+        for template in (base, {**base, "loss": np.float32(0)}):
+            try:
+                restored = restore_checkpoint(cfg.train_model_save_path, str(resume), template)
+                break
+            except Exception as e:
+                last_err = e
+        if restored is not None:
             state = TrainState(restored["params"], restored["opt_state"], restored["step"])
             start_epoch = int(restored["epoch"]) + 1
             logger.info(f"Resumed from {resume} at epoch {start_epoch}")
-        except Exception as e:  # pragma: no cover
-            logger.info(f"Resume failed ({e}); training from scratch")
+        elif explicit:
+            # an explicitly configured checkpoint that fails to load is an
+            # error, not a silent fresh start (the reference fails loudly too)
+            raise RuntimeError(
+                f"load_checkpoint_path={resume!r} could not be restored: {last_err}"
+            )
+        else:
+            logger.info(f"Auto-resume from {resume} failed ({last_err}); training from scratch")
 
     if args.synthetic:
         train_ds = SyntheticDataset(length=4 * cfg.batch_size, seed=cfg.seed, train=True)

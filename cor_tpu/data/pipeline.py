@@ -23,7 +23,6 @@ deterministic fake triplets for tests and benchmarks.
 from __future__ import annotations
 
 import concurrent.futures as cf
-import os
 import queue
 import threading
 from dataclasses import dataclass
@@ -99,6 +98,9 @@ class CORDataset:
     seed: int = 42
     capitalized_dirs: bool = False  # TestDataset_Single uses Image/Mask (:480-484)
     limit: Optional[int] = None
+    # set by DataLoader each epoch so augmentations vary across epochs (the
+    # reference draws fresh worker randomness per epoch)
+    epoch: int = 0
 
     def __post_init__(self):
         self.df = load_manifest(self.csv_path)
@@ -131,7 +133,8 @@ class CORDataset:
         native_hw = (q_mask.size[1], q_mask.size[0])
 
         if self.train:
-            rng = np.random.default_rng((self.seed, idx, os.getpid()))
+            # (seed, epoch, idx): deterministic per run, fresh per epoch
+            rng = np.random.default_rng((self.seed, self.epoch, idx))
             q_img, q_mask = train_augment(q_img, q_mask, rng)
 
         sample = {
@@ -229,6 +232,8 @@ class DataLoader:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.default_rng((self.seed, self.epoch)).shuffle(order)
+        if hasattr(self.dataset, "epoch"):
+            self.dataset.epoch = self.epoch  # fresh augmentation draws per epoch
         self.epoch += 1
 
         batches = [

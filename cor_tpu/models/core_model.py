@@ -148,6 +148,11 @@ def core_forward(
     sb = dict(p["support_branch"])
     sb["siglip"] = jax.tree.map(jax.lax.stop_gradient, sb["siglip"])
     p["support_branch"] = sb
+    # the PE gaussian matrix is a buffer in the reference, never optimized
+    # (my_prompt_encoder.py:186-188); only no_mask_embed trains
+    pe = dict(p["prompt_encoder"])
+    pe["pe_layer"] = jax.tree.map(jax.lax.stop_gradient, pe["pe_layer"])
+    p["prompt_encoder"] = pe
 
     q = query_images.astype(cdt)
     s = support_images.astype(cdt)

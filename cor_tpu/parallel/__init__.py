@@ -3,6 +3,7 @@ from cor_tpu.parallel.mesh import (
     MODEL_AXIS,
     make_mesh,
     batch_sharding,
+    pad_batch,
     replicated,
     shard_batch,
 )
@@ -13,6 +14,7 @@ __all__ = [
     "MODEL_AXIS",
     "make_mesh",
     "batch_sharding",
+    "pad_batch",
     "replicated",
     "shard_batch",
     "opt_state_sharding_tree",

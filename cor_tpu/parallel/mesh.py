@@ -58,3 +58,32 @@ def shard_batch(mesh: Mesh, batch):
     """Place a host batch pytree onto the mesh, sharded along axis 0."""
     s = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+
+
+def pad_batch(batch, multiple: int, target: Optional[int] = None):
+    """Pad every leaf's leading axis so it divides the mesh (reference val
+    loaders are drop_last=False — utils/dataloader.py:372-412 — so the final
+    partial batch must still shard).
+
+    Padding replicates the last sample (keeps values in-distribution); the
+    returned batch carries a ``valid`` [B_padded] float mask (1 = real row,
+    0 = padding) that the loss / eval reductions weight by, so metrics and
+    gradients are unaffected. Pass ``target`` (e.g. the full batch size,
+    rounded up) to keep ONE compiled shape across full and remainder batches.
+    """
+    import jax.numpy as jnp
+
+    n = jax.tree.leaves(batch)[0].shape[0]
+    size = max(n, target or 0)
+    size = -(-size // multiple) * multiple
+    pad = size - n
+    valid = jnp.concatenate(
+        [jnp.ones((n,), jnp.float32), jnp.zeros((pad,), jnp.float32)]
+    )
+    if pad == 0:
+        return {**batch, "valid": valid}
+    padded = jax.tree.map(
+        lambda x: jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0),
+        batch,
+    )
+    return {**padded, "valid": valid}

@@ -72,6 +72,10 @@ def make_sharded_retrieve(mesh: Mesh, k: int):
 
     def local_scan(queries, gallery_shard, index_shard):
         s = cosine_scores(queries, gallery_shard)  # [Q, G/n]
+        # demote padded rows (index -1) BEFORE the local top-k: a zero-padded
+        # row scores cosine 0 and could otherwise evict real negative-score
+        # candidates from this shard's k
+        s = jnp.where(index_shard[None, :] < 0, -jnp.inf, s)
         k_local = min(k, gallery_shard.shape[0])
         scores, local_idx = jax.lax.top_k(s, k_local)  # [Q, k_local]
         global_idx = index_shard[local_idx]  # [Q, k_local]

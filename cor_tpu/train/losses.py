@@ -19,6 +19,8 @@ All losses compute in fp32.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 
@@ -26,11 +28,21 @@ from cor_tpu.ops.common import l2_normalize
 from cor_tpu.ops.resize import avg_pool_same, resize_bilinear
 
 
+def _masked_mean(per_sample: jax.Array, valid: Optional[jax.Array]) -> jax.Array:
+    """Mean over samples, restricted to valid (padding-free) rows."""
+    if valid is None:
+        return jnp.mean(per_sample)
+    v = valid.astype(jnp.float32)
+    n = jnp.sum(v)
+    return jnp.where(n > 0, jnp.sum(per_sample * v) / jnp.maximum(n, 1.0), 0.0)
+
+
 def wbce_with_wiou_loss(
     pred: jax.Array,  # [B, H, W, 1] logits (NHWC)
     mask: jax.Array,  # [B, H, W, 1] in [0, 1]
     w1: float = 1.0,
     w2: float = 1.0,
+    valid: Optional[jax.Array] = None,  # [B] 1 = real row, 0 = mesh padding
 ) -> jax.Array:
     pred = pred.astype(jnp.float32)
     mask = mask.astype(jnp.float32)
@@ -51,7 +63,7 @@ def wbce_with_wiou_loss(
     union = jnp.sum((prob + mask) * weit, axis=axes) - inter
     wiou = 1.0 - (inter + 1e-6) / (union + 1e-6)
 
-    return jnp.mean(w1 * wbce + w2 * wiou)
+    return _masked_mean(w1 * wbce + w2 * wiou, valid)
 
 
 def mask_pool_normalized(embeddings: jax.Array, mask: jax.Array) -> jax.Array:
@@ -71,30 +83,32 @@ def fg_feat_similarity_loss(
     query_embeddings: jax.Array,  # [B, H, W, C]
     support_feat: jax.Array,  # [B, 1, C] L2-normed
     query_mask: jax.Array,  # [B, h, w, 1]
+    valid: Optional[jax.Array] = None,  # [B] mesh-padding mask
 ) -> jax.Array:
     qm = query_mask.astype(jnp.float32)
-    valid = (jnp.sum(qm, axis=(1, 2, 3)) > 0).astype(jnp.float32)  # [B]
+    nonempty = (jnp.sum(qm, axis=(1, 2, 3)) > 0).astype(jnp.float32)  # [B]
+    if valid is not None:
+        nonempty = nonempty * valid.astype(jnp.float32)
     qf = mask_pool_normalized(query_embeddings, qm)  # [B, C]
     sf = l2_normalize(support_feat.astype(jnp.float32)[:, 0, :])
     cos = jnp.sum(qf * sf, axis=-1)  # [B]
-    per_sample = 1.0 - cos
-    n = jnp.sum(valid)
-    return jnp.where(n > 0, jnp.sum(per_sample * valid) / jnp.maximum(n, 1.0), 0.0)
+    return _masked_mean(1.0 - cos, nonempty)
 
 
 def bg_feat_similarity_loss(
     query_embeddings: jax.Array,
     support_feat: jax.Array,
     query_mask: jax.Array,
+    valid: Optional[jax.Array] = None,
 ) -> jax.Array:
     bg = 1.0 - query_mask.astype(jnp.float32)
-    valid = (jnp.sum(bg, axis=(1, 2, 3)) > 0).astype(jnp.float32)
+    nonempty = (jnp.sum(bg, axis=(1, 2, 3)) > 0).astype(jnp.float32)
+    if valid is not None:
+        nonempty = nonempty * valid.astype(jnp.float32)
     bf = mask_pool_normalized(query_embeddings, bg)
     sf = l2_normalize(support_feat.astype(jnp.float32)[:, 0, :])
     cos = jnp.sum(bf * sf, axis=-1)
-    per_sample = cos + 1.0
-    n = jnp.sum(valid)
-    return jnp.where(n > 0, jnp.sum(per_sample * valid) / jnp.maximum(n, 1.0), 0.0)
+    return _masked_mean(cos + 1.0, nonempty)
 
 
 def core_total_loss(
@@ -103,18 +117,21 @@ def core_total_loss(
     query_embeddings: jax.Array,  # [B, He, We, C]
     support_feat: jax.Array,  # [B, 1, C]
     feat_weight: float = 5.0,
+    valid: Optional[jax.Array] = None,  # [B] 1 = real row, 0 = mesh padding
 ):
     """Total loss = seg + 5*fg + 5*bg (reference: utils/trainer_v3_g.py:67-73).
 
     The GT mask is bilinearly resized to the prediction grid for the
     segmentation term (trainer_v3_g.py:67) and used at full resolution for
-    the region-contrastive terms.
+    the region-contrastive terms. ``valid`` excludes mesh-padding rows (see
+    cor_tpu.parallel.mesh.pad_batch) so a padded batch yields the same loss
+    and gradients as the unpadded one.
     """
     target = resize_bilinear(
         query_mask_full.astype(jnp.float32), pred_mask.shape[1:3]
     )
-    seg = wbce_with_wiou_loss(pred_mask, target)
-    fg = fg_feat_similarity_loss(query_embeddings, support_feat, query_mask_full)
-    bg = bg_feat_similarity_loss(query_embeddings, support_feat, query_mask_full)
+    seg = wbce_with_wiou_loss(pred_mask, target, valid=valid)
+    fg = fg_feat_similarity_loss(query_embeddings, support_feat, query_mask_full, valid=valid)
+    bg = bg_feat_similarity_loss(query_embeddings, support_feat, query_mask_full, valid=valid)
     total = seg + feat_weight * fg + feat_weight * bg
     return total, {"seg_loss": seg, "fg_loss": fg, "bg_loss": bg, "total_loss": total}

@@ -35,6 +35,10 @@ FROZEN_PREFIXES = (
     ("support_branch", "siglip"),
     # frozen IoU quality head (reference: build_model.py:118-120)
     ("mask_decoder", "iou_prediction_head"),
+    # the random-Fourier PE gaussian matrix is a registered BUFFER in the
+    # reference — never optimized (my_prompt_encoder.py:186-188). Only
+    # no_mask_embed in the prompt encoder receives updates.
+    ("prompt_encoder", "pe_layer"),
 )
 
 
@@ -101,36 +105,42 @@ def make_lr_schedule(
     `scheduler.step(epoch)` with epochs starting at 1 (my_train_a.py:252-259).
     """
     name = str(name)
+    eta_min = 0.1 * base_lr  # every reference scheduler floors at 0.1*lr
 
     def cosine(epoch):
+        # CosineAnnealingLR(T_max=epochs, eta_min=0.1*lr) (my_train_a.py:146)
         t = jnp.clip(epoch, 0, epochs)
-        return 0.5 * base_lr * (1.0 + jnp.cos(jnp.pi * t / epochs))
+        return eta_min + 0.5 * (base_lr - eta_min) * (1.0 + jnp.cos(jnp.pi * t / epochs))
 
-    def cosine_warm_restarts(epoch, t0=5, t_mult=2.0):
-        # CosineAnnealingWarmRestarts(T_0=5, T_mult=2) per-epoch closed form
+    def cosine_warm_restarts(epoch, t0=10, t_mult=2.0):
+        # CosineAnnealingWarmRestarts(T_0=10, T_mult=2, eta_min=0.1*lr)
+        # per-epoch closed form (my_train_a.py:151)
         e = jnp.asarray(epoch, jnp.float32)
         n = jnp.floor(jnp.log2(e / t0 * (t_mult - 1.0) + 1.0))
         t_start = t0 * (t_mult**n - 1.0) / (t_mult - 1.0)
         t_i = t0 * t_mult**n
         t_cur = e - t_start
-        return 0.5 * base_lr * (1.0 + jnp.cos(jnp.pi * t_cur / t_i))
+        return eta_min + 0.5 * (base_lr - eta_min) * (1.0 + jnp.cos(jnp.pi * t_cur / t_i))
 
-    def timm_cosine(epoch, warmup=5, warmup_lr=1e-6, min_lr=1e-6):
-        # timm CosineLRScheduler(t_initial=epochs, warmup_t=5) semantics
+    def timm_cosine(epoch, warmup=5):
+        # timm CosineLRScheduler(t_initial=epochs-5, lr_min=0.1*lr, warmup_t=5,
+        # warmup_lr_init=0.1*lr, warmup_prefix=True) (my_train_a.py:156-164):
+        # linear warmup 0.1*lr -> lr over 5 epochs, then cosine to 0.1*lr over
+        # the remaining epochs (warmup_prefix shifts the cosine clock by 5).
         e = jnp.asarray(epoch, jnp.float32)
-        warm = warmup_lr + (base_lr - warmup_lr) * e / warmup
+        warm = eta_min + (base_lr - eta_min) * e / warmup
         t = (e - warmup) / jnp.maximum(epochs - warmup, 1)
-        cos = min_lr + 0.5 * (base_lr - min_lr) * (1.0 + jnp.cos(jnp.pi * jnp.clip(t, 0, 1)))
+        cos = eta_min + 0.5 * (base_lr - eta_min) * (1.0 + jnp.cos(jnp.pi * jnp.clip(t, 0, 1)))
         return jnp.where(e < warmup, warm, cos)
 
     def exponential(epoch):
-        return base_lr * (0.9**epoch)  # reference gamma=0.9 (my_train_a.py:168)
+        return base_lr * (0.95**epoch)  # reference gamma=0.95 (my_train_a.py:168)
 
     if name == "CosineAnnealingLR":
         return cosine
     if name == "CosineAnnealingWarmRestarts":
         return cosine_warm_restarts
-    if name == "CosineLRScheduler":
+    if name in ("TimmCosineLRScheduler", "CosineLRScheduler"):
         return timm_cosine
     if name == "ExponentialLR":
         return exponential

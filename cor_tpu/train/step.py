@@ -53,7 +53,9 @@ def make_train_step(cfg: CoreConfig, tx: optax.GradientTransformation):
         )
         # NCHW-style [B, 1, H, W] logits -> NHWC for the loss
         pred_nhwc = jnp.transpose(pred, (0, 2, 3, 1))
-        total, aux = core_total_loss(pred_nhwc, batch["query_mask"], qemb, sfeat)
+        total, aux = core_total_loss(
+            pred_nhwc, batch["query_mask"], qemb, sfeat, valid=batch.get("valid")
+        )
         return total, aux
 
     @partial(jax.jit, donate_argnums=(0,))
@@ -115,8 +117,14 @@ def make_eval_step(cfg: CoreConfig):
         pred_nhwc = resize_bilinear(pred_nhwc, gt.shape[1:3])
         prob = normalize_prediction(pred_nhwc)
         per_sample = all_soft_metrics(prob, gt)
-        sums = {k: jnp.sum(v) for k, v in per_sample.items()}
-        count = jnp.asarray(gt.shape[0], jnp.float32)
+        # mesh-padding rows (pad_batch) are weighted out of the (sum, count)
+        # reduction so partial drop_last=False val batches leave metrics exact
+        valid = batch.get("valid")
+        if valid is None:
+            valid = jnp.ones((gt.shape[0],), jnp.float32)
+        valid = valid.astype(jnp.float32)
+        sums = {k: jnp.sum(v * valid) for k, v in per_sample.items()}
+        count = jnp.sum(valid)
         return sums, count
 
     return eval_step

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from cor_tpu.config import TrainConfig
-from cor_tpu.parallel import make_mesh, replicated, shard_batch
+from cor_tpu.parallel import make_mesh, pad_batch, replicated, shard_batch
+from cor_tpu.parallel.mesh import DATA_AXIS
 from cor_tpu.train.checkpoint import save_checkpoint
 from cor_tpu.train.step import TrainState, make_eval_step, make_train_step
 from cor_tpu.utils.meters import AverageMeter, StepTimer
@@ -85,10 +86,23 @@ class Trainer:
         cfg = self.cfg
         self.logger.info("=" * 35 + f" Training Epoch: {epoch} " + "=" * 35)
         lr = float(self.lr_schedule(epoch))
-        loss_meter = AverageMeter(window_size=cfg.batch_record_interval)
+        # the reference's AverageMeter.average is the CUMULATIVE mean — the
+        # window_size arg only feeds an unused helper (utils/utils.py:36-50)
+        loss_meter = AverageMeter()
         timer = StepTimer()
         total_batches = len(loader)
         t_epoch = time.time()
+
+        # Per-step host syncs (float(loss)) block async dispatch and
+        # serialize host<->device on real TPU. Device scalars are queued and
+        # only materialized at batch_record_interval boundaries, by which
+        # point the in-order device queue has already computed them.
+        pending: list = []
+
+        def drain():
+            for v in pending:
+                loss_meter.update(float(v))
+            pending.clear()
 
         try:
             for batch_idx, batch in enumerate(loader, start=1):
@@ -97,14 +111,14 @@ class Trainer:
                 self.state, metrics = self.train_step(
                     self.state, batch, self.rng, jnp.float32(lr)
                 )
-                loss = float(metrics["total_loss"])
-                loss_meter.update(loss)
+                pending.append(metrics["total_loss"])
                 timer.toc()
                 if batch_idx == 1 or batch_idx % cfg.batch_record_interval == 0 or batch_idx == total_batches:
+                    drain()
                     self.logger.info(
                         f"[Epo: {epoch:03d}/{cfg.epoch:03d}] => "
                         f"[Batch: {batch_idx:04d}/{total_batches:04d}] => "
-                        f"[BLoss: {loss:.4f}] => [LAvgLoss: {loss_meter.average:.4f}] => "
+                        f"[BLoss: {loss_meter.value:.4f}] => [LAvgLoss: {loss_meter.average:.4f}] => "
                         f"[Lr: {lr:g}] => [ETA: {timer.eta(total_batches - batch_idx)}]"
                     )
         except KeyboardInterrupt:
@@ -112,15 +126,20 @@ class Trainer:
             self._save(f"interrupted_checkpoint_epoch_{epoch}", epoch)
             raise
 
-        global_loss = loss_meter.average
+        drain()
+        # single-host mesh: the per-process (local) and gathered (global)
+        # epoch means coincide (reference: trainer_v3_g.py:100-124)
+        local_loss = loss_meter.average
+        global_loss = local_loss
         duration = time.time() - t_epoch
         self.logger.info(
             f"[Train Info]: [Epoch {epoch:03d}/{cfg.epoch:03d}], "
-            f"[GlobalAvgLoss: {global_loss:.4f}], [Lr: {lr:g}], "
-            f"[Duration: {int(duration)}s]"
+            f"[LocalAvgLoss: {local_loss:.4f}], [GlobalAvgLoss: {global_loss:.4f}], "
+            f"[Lr: {lr:g}], [Duration: {int(duration)}s]"
         )
         if self.writer is not None:
             self.writer.add_scalar("Train/LearningRate", lr, epoch)
+            self.writer.add_scalar("Train/LocalTotalLoss", local_loss, epoch)
             self.writer.add_scalar("Train/GlobalTotalLoss", global_loss, epoch)
             self.writer.add_scalar("Train/EpochDuration", duration, epoch)
         if epoch % cfg.train_model_save_epoch == 0:
@@ -156,7 +175,10 @@ class Trainer:
                 f"[Val Info]: New best model at epoch {epoch} "
                 f"(Dice+IoU = {self.best.best_score:.4f})"
             )
-            self._save("best_model", epoch)
+            # double save (reference: trainer_v3_g.py:340-356): best_model =
+            # params only; best_model_full = resumable full training state
+            self._save("best_model", epoch, params_only=True)
+            self._save("best_model_full", epoch)
         return metrics
 
     # ------------------------------------------------------------------
@@ -169,16 +191,25 @@ class Trainer:
     # ------------------------------------------------------------------
     def _device_batch(self, batch) -> Dict[str, jnp.ndarray]:
         keep = ("query_img", "query_mask", "support_img", "support_mask", "text")
-        return {k: jnp.asarray(batch[k]) for k in keep}
+        out = {k: jnp.asarray(batch[k]) for k in keep}
+        # pad to the mesh multiple (batch_size 10 on an 8-device mesh; partial
+        # drop_last=False val batches) — padded rows are valid-masked out of
+        # the loss and the (sum, count) eval reduction
+        n_data = self.mesh.shape[DATA_AXIS]
+        target = -(-self.cfg.batch_size // n_data) * n_data
+        return pad_batch(out, n_data, target=target)
 
-    def _save(self, name: str, epoch: int, loss: Optional[float] = None):
-        payload = {
-            "params": self.state.params,
-            "opt_state": self.state.opt_state,
-            "step": self.state.step,
-            "epoch": np.int32(epoch),
-        }
-        if loss is not None:
-            payload["loss"] = np.float32(loss)
+    def _save(self, name: str, epoch: int, loss: Optional[float] = None, params_only: bool = False):
+        if params_only:
+            payload = {"params": self.state.params}
+        else:
+            payload = {
+                "params": self.state.params,
+                "opt_state": self.state.opt_state,
+                "step": self.state.step,
+                "epoch": np.int32(epoch),
+            }
+            if loss is not None:
+                payload["loss"] = np.float32(loss)
         path = save_checkpoint(self.cfg.train_model_save_path, name, payload)
         self.logger.info(f"[Train Info]: Saved checkpoint to {path}")

@@ -32,6 +32,16 @@ class AverageMeter:
             return sum(self._window) / max(len(self._window), 1)
         return self.total_sum / max(self.count, 1)
 
+    @property
+    def value(self) -> float:
+        """Most recent update (the reference logs batch_loss.item() directly)."""
+        return self._window[-1] if self._window else 0.0
+
+    @property
+    def global_average(self) -> float:
+        """Cumulative mean regardless of the sliding window."""
+        return self.total_sum / max(self.count, 1)
+
 
 def init_logger(log_dir: str | Path, prefix: str = "train") -> logging.Logger:
     """Timestamped file + console logger

@@ -28,7 +28,10 @@ def test_trainable_mask_freezes_reference_partitions(key):
     assert all(jax.tree.leaves(mask["support_branch"]["cir_fuse"]))
     assert all(jax.tree.leaves(mask["support_branch"]["dim_proj"]))
     assert all(jax.tree.leaves(mask["mask_decoder"]["transformer"]))
-    assert all(jax.tree.leaves(mask["prompt_encoder"]))
+    # prompt encoder: only no_mask_embed trains; the PE gaussian matrix is a
+    # buffer in the reference (my_prompt_encoder.py:186-188)
+    assert all(jax.tree.leaves(mask["prompt_encoder"]["no_mask_embed"]))
+    assert not any(jax.tree.leaves(mask["prompt_encoder"]["pe_layer"]))
     n_train = count_params(params, mask)
     n_total = count_params(params)
     assert 0 < n_train < n_total
@@ -114,6 +117,54 @@ def test_train_step_on_8_device_mesh(key, rng):
     np.testing.assert_allclose(
         float(metrics["total_loss"]), float(metrics2["total_loss"]), rtol=1e-4
     )
+
+
+def test_padded_batch_matches_unpadded(key, rng):
+    """pad_batch rows are valid-masked out: loss, grads, and eval sums are
+    identical to the unpadded batch (batch_size 10 on an 8-device mesh)."""
+    import dataclasses
+
+    from cor_tpu.parallel import pad_batch
+    from tests.helpers import TINY_SUPPORT
+
+    # dropout off: the dropout mask is drawn over the (padded) batch shape, so
+    # padded/unpadded draws differ; padding equivalence is about the masking
+    cfg = tiny_core_config(
+        support_override=dataclasses.replace(TINY_SUPPORT, proj_dropout=0.0)
+    )
+    mesh = make_mesh()
+    params = init_core_model(key, cfg)
+    tx, _ = make_optimizer(params, lr=1e-3, epochs=5)
+    train_step = make_train_step(cfg, tx)
+
+    raw = _jax_batch(tiny_batch(rng, batch=10))  # 10 does not divide 8
+    padded = pad_batch(raw, mesh.shape["data"], target=16)
+    assert jax.tree.leaves(padded)[0].shape[0] == 16
+    assert float(padded["valid"].sum()) == 10.0
+
+    state_a = create_train_state(init_core_model(key, cfg), tx)
+    state_a = jax.device_put(state_a, replicated(mesh))
+    state_a, m_pad = train_step(state_a, shard_batch(mesh, padded), jax.random.PRNGKey(0), jnp.float32(1e-3))
+
+    state_b = create_train_state(init_core_model(key, cfg), tx)
+    state_b, m_raw = train_step(state_b, raw, jax.random.PRNGKey(0), jnp.float32(1e-3))
+    np.testing.assert_allclose(
+        float(m_pad["total_loss"]), float(m_raw["total_loss"]), rtol=2e-4
+    )
+    # updated trainable params agree (gradients were padding-free)
+    for a, b in zip(
+        jax.tree.leaves(state_a.params["support_branch"]["cir_fuse"]),
+        jax.tree.leaves(state_b.params["support_branch"]["cir_fuse"]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    # eval reduction: padded rows excluded from (sum, count)
+    eval_step = make_eval_step(cfg)
+    sums_p, n_p = eval_step(state_b.params, padded)
+    sums_r, n_r = eval_step(state_b.params, raw)
+    assert float(n_p) == float(n_r) == 10.0
+    for k in sums_r:
+        np.testing.assert_allclose(float(sums_p[k]), float(sums_r[k]), rtol=1e-5)
 
 
 def test_eval_step_returns_weighted_sums(key, rng):

@@ -71,9 +71,11 @@ def test_trainer_e2e_with_checkpointing(tmp_path, tiny_synth_loaders):
     for k in ("dice", "mae", "iou", "mdice", "miou"):
         assert 0.0 <= best.best_metrics[k] <= 1.0
 
-    # periodic + best checkpoints exist
+    # periodic + best checkpoints exist (double best save: params-only +
+    # resumable full state — reference trainer_v3_g.py:340-356)
     assert latest_epoch_checkpoint(tmp_path) == "checkpoint_epoch_2"
     assert (tmp_path / "best_model").exists()
+    assert (tmp_path / "best_model_full").exists()
 
     # resume roundtrip: params restore bit-exact
     template = {
@@ -89,6 +91,47 @@ def test_trainer_e2e_with_checkpointing(tmp_path, tiny_synth_loaders):
         jax.tree.leaves(restored["params"]), jax.tree.leaves(trainer.state.params)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_val_epoch_with_odd_length_on_mesh(tmp_path):
+    """drop_last=False val loader whose final batch (3 samples) does not
+    divide the 8-device mesh: padding + valid-masking keep the metric count
+    exact (VERDICT round-1 item 4)."""
+    val_ds = SyntheticDataset(
+        length=11, query_img_size=64, support_img_size=32, context_length=8, vocab_size=64, seed=3
+    )
+    val_loader = DataLoader(val_ds, batch_size=8, num_workers=2)
+    cfg = TrainConfig(
+        epoch=1, batch_size=8, train_model_save_path=str(tmp_path), compute_dtype="float32"
+    )
+    core_cfg = tiny_core_config()
+    params = init_core_model(jax.random.PRNGKey(0), core_cfg)
+    tx, sched = make_optimizer(params, epochs=1)
+    state = create_train_state(params, tx)
+    trainer = Trainer(cfg, state, tx, sched, logging.getLogger("test"))
+    trainer.core_cfg = core_cfg
+    from cor_tpu.train.step import make_eval_step
+
+    trainer.eval_step = make_eval_step(core_cfg)
+
+    # count the samples the reduction actually saw
+    sums = {k: 0.0 for k in ("dice", "mae", "iou", "mdice", "miou")}
+    count = 0.0
+    from cor_tpu.parallel import shard_batch
+
+    for batch in val_loader:
+        batch = shard_batch(trainer.mesh, trainer._device_batch(batch))
+        batch_sums, n = trainer.eval_step(trainer.state.params, batch)
+        count += float(n)
+        for k in sums:
+            sums[k] += float(batch_sums[k])
+    assert count == 11.0
+    for k, v in sums.items():
+        assert 0.0 <= v / count <= 1.0
+
+    metrics = trainer.val_epoch(val_loader, epoch=1)
+    for k in sums:
+        np.testing.assert_allclose(metrics[k], sums[k] / count, rtol=1e-6)
 
 
 def test_checkpoint_roundtrip_standalone(tmp_path, key):
