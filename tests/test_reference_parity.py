@@ -1,0 +1,430 @@
+"""End-to-end numerical parity against the ACTUAL reference PyTorch code.
+
+These tests import `/root/reference/lib/*` (torch CPU), instantiate the
+reference modules with random weights, export their state dicts, convert
+through cor_tpu.utils.convert, and assert composite forward parity — so the
+converter dialects and the composed graphs are checked against the reference
+implementation itself, not against hand-transcribed oracles.
+
+Covered (VERDICT round-1 item 2):
+- ImageEncoderViT (windowed + global attention, decomposed rel-pos, neck)
+- MaskDecoder + TwoWayTransformer (+ hypernetworks, IoU head, 4x upscale)
+- my_prompt_encoder.PromptEncoder (dense no-mask embed + random-Fourier PE)
+- MaskedPooling / MaskAdapterPooling (ConvNeXt adapter)
+- CirFuseModule (gated fusion)
+- the assembled CirSegModelWithQuerySupportFeat with the SigLIP call stubbed
+  by the same fixed tensors on both sides (reference:
+  lib/sam_with_sup_branch.py:57-104)
+
+The reference's SigLIP wrapper needs open_clip (absent here); a bare module
+stub satisfies its `import open_clip` — the wrapper itself is never built.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/reference")
+sys.modules.setdefault("open_clip", types.ModuleType("open_clip"))
+
+from lib.sam_model.image_encoder import ImageEncoderViT  # noqa: E402
+from lib.sam_model.mask_decoder import MaskDecoder as RefMaskDecoder  # noqa: E402
+from lib.sam_model.my_prompt_encoder import PromptEncoder as RefPromptEncoder  # noqa: E402
+from lib.sam_model.transformer import TwoWayTransformer as RefTwoWayTransformer  # noqa: E402
+from lib.support_model.cir_feature_fuse import CirFuseModule  # noqa: E402
+from lib.support_model.mask_adapter import (  # noqa: E402
+    MaskAdapterPooling as RefMaskAdapterPooling,
+    MaskedPooling as RefMaskedPooling,
+)
+
+from cor_tpu.models.core_model import CoreConfig, core_forward, init_core_model
+from cor_tpu.models.fusion import cir_fuse_compose
+from cor_tpu.models.pooling import (
+    MaskAdapterConfig,
+    mask_adapter_pooling,
+    masked_pooling,
+)
+from cor_tpu.models.prompt_encoder import (
+    PromptEncoderConfig,
+    get_dense_pe,
+    prompt_encoder_dense,
+)
+from cor_tpu.models.sam_decoder import (
+    MaskDecoderConfig,
+    TwoWayTransformerConfig,
+    mask_decoder,
+)
+from cor_tpu.models.sam_encoder import SamEncoderConfig, sam_encoder
+from cor_tpu.utils.convert import (
+    _lin,
+    _ln,
+    convert_cir_fuse,
+    convert_mask_adapter,
+    convert_sam_decoder,
+    convert_sam_encoder,
+)
+
+TOL = 1e-4
+
+
+def sd_np(module: torch.nn.Module, prefix: str = "") -> dict:
+    return {f"{prefix}{k}": v.detach().float().numpy() for k, v in module.state_dict().items()}
+
+
+def as_jnp(tree):
+    """Converters return numpy; tracing code indexes params, so lift to jnp."""
+    return jax.tree.map(jnp.asarray, tree)
+
+
+def max_abs(a, b) -> float:
+    return float(np.max(np.abs(np.asarray(a, np.float64) - np.asarray(b, np.float64))))
+
+
+# ---------------------------------------------------------------------------
+# SAM image encoder
+# ---------------------------------------------------------------------------
+
+ENC = dict(img_size=128, patch_size=16, embed_dim=64, depth=3, num_heads=2,
+           out_chans=32, window_size=5, global_attn_indexes=(1,))
+
+
+def test_sam_encoder_parity():
+    torch.manual_seed(0)
+    # window_size=5 over an 8x8 grid exercises the pad/unpad path
+    ref = ImageEncoderViT(
+        img_size=ENC["img_size"], patch_size=ENC["patch_size"], embed_dim=ENC["embed_dim"],
+        depth=ENC["depth"], num_heads=ENC["num_heads"], out_chans=ENC["out_chans"],
+        use_rel_pos=True, window_size=ENC["window_size"],
+        global_attn_indexes=ENC["global_attn_indexes"], mlp_ratio=4.0,
+    ).eval()
+    # rel_pos / pos_embed init to zeros; randomize so that math is exercised
+    with torch.no_grad():
+        ref.pos_embed.normal_(std=0.05)
+        for blk in ref.blocks:
+            blk.attn.rel_pos_h.normal_(std=0.05)
+            blk.attn.rel_pos_w.normal_(std=0.05)
+
+    cfg = SamEncoderConfig(**ENC)
+    params = as_jnp(convert_sam_encoder(sd_np(ref, "image_encoder."), ENC["depth"]))
+
+    x = np.random.default_rng(0).standard_normal((2, 3, ENC["img_size"], ENC["img_size"])).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()  # [B, C, H, W]
+    got = sam_encoder(params, jnp.asarray(x.transpose(0, 2, 3, 1)), cfg)  # NHWC
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    assert want.shape == got.shape
+    assert max_abs(want, got) < TOL
+
+
+# ---------------------------------------------------------------------------
+# prompt encoder (dense no-mask embed + random-Fourier PE)
+# ---------------------------------------------------------------------------
+
+
+def test_prompt_encoder_parity():
+    torch.manual_seed(1)
+    ref = RefPromptEncoder(embed_dim=32, image_embedding_size=(8, 8)).eval()
+    sd = sd_np(ref)
+    params = as_jnp({
+        "pe_layer": {"gaussian_matrix": sd["pe_layer.positional_encoding_gaussian_matrix"]},
+        "no_mask_embed": sd["no_mask_embed.weight"],
+    })
+    cfg = PromptEncoderConfig(embed_dim=32, image_embedding_size=(8, 8), input_image_size=(128, 128))
+
+    with torch.no_grad():
+        want_dense = ref(3).numpy()  # [3, 32, 8, 8]
+        want_pe = ref.get_dense_pe().numpy()  # [1, 32, 8, 8]
+    got_dense = np.asarray(prompt_encoder_dense(params, 3, cfg)).transpose(0, 3, 1, 2)
+    got_pe = np.asarray(get_dense_pe(params, cfg)).transpose(0, 3, 1, 2)
+    assert max_abs(want_dense, got_dense) < TOL
+    assert max_abs(want_pe, got_pe) < TOL
+
+
+# ---------------------------------------------------------------------------
+# mask decoder + TwoWayTransformer
+# ---------------------------------------------------------------------------
+
+
+def _ref_decoder():
+    torch.manual_seed(2)
+    return RefMaskDecoder(
+        transformer_dim=32,
+        transformer=RefTwoWayTransformer(depth=2, embedding_dim=32, num_heads=2, mlp_dim=64),
+        num_multimask_outputs=3,
+        iou_head_depth=3,
+        iou_head_hidden_dim=32,
+    ).eval()
+
+
+DEC_CFG = MaskDecoderConfig(
+    transformer_dim=32,
+    iou_head_hidden_dim=32,
+    transformer=TwoWayTransformerConfig(depth=2, embedding_dim=32, num_heads=2, mlp_dim=64),
+)
+
+
+@pytest.mark.parametrize("multimask", [False, True])
+def test_mask_decoder_parity(multimask):
+    ref = _ref_decoder()
+    params = as_jnp(convert_sam_decoder(sd_np(ref, "mask_decoder.")))
+
+    rng = np.random.default_rng(3)
+    # the reference decoder hardcodes the 64x64 SAM grid (mask_decoder.py:132)
+    B, H, W, C = 2, 64, 64, 32
+    img = rng.standard_normal((B, C, H, W)).astype(np.float32)
+    pe = rng.standard_normal((1, C, H, W)).astype(np.float32)
+    sparse = rng.standard_normal((B, 1, C)).astype(np.float32)
+    dense = rng.standard_normal((B, C, H, W)).astype(np.float32)
+
+    with torch.no_grad():
+        want_masks, want_iou, _ = ref(
+            image_embeddings=torch.from_numpy(img),
+            image_pe=torch.from_numpy(pe),
+            sparse_prompt_embeddings=torch.from_numpy(sparse),
+            dense_prompt_embeddings=torch.from_numpy(dense),
+            multimask_output=multimask,
+        )
+    got_masks, got_iou, _ = mask_decoder(
+        params,
+        jnp.asarray(img.transpose(0, 2, 3, 1)),
+        jnp.asarray(pe.transpose(0, 2, 3, 1)),
+        jnp.asarray(sparse),
+        jnp.asarray(dense.transpose(0, 2, 3, 1)),
+        DEC_CFG,
+        multimask_output=multimask,
+        fused=False,
+    )
+    assert want_masks.shape == tuple(got_masks.shape)
+    assert max_abs(want_masks.numpy(), got_masks) < TOL
+    assert max_abs(want_iou.numpy(), got_iou) < TOL
+
+
+# ---------------------------------------------------------------------------
+# pooling
+# ---------------------------------------------------------------------------
+
+
+def test_masked_pooling_parity():
+    ref = RefMaskedPooling().eval()
+    rng = np.random.default_rng(4)
+    feat = rng.standard_normal((2, 24, 8, 8)).astype(np.float32)
+    mask = (rng.random((2, 1, 32, 32)) > 0.5).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(feat), torch.from_numpy(mask)).numpy()
+    got = masked_pooling(
+        jnp.asarray(feat.transpose(0, 2, 3, 1)), jnp.asarray(mask.transpose(0, 2, 3, 1))
+    )
+    # reference returns [B, C]; ours [B, 1, C]
+    assert max_abs(want, np.asarray(got)[:, 0, :]) < TOL
+
+
+def test_mask_adapter_pooling_parity():
+    torch.manual_seed(5)
+    ref = RefMaskAdapterPooling(
+        x_in_channel=48,
+        mask_adatpet_network_in_channel=24,
+        mask_downscaling_mid_channel=8,
+        mask_adatpet_network_mid_channel=16,
+        num_output_maps=4,
+    ).eval()
+    cfg = MaskAdapterConfig(
+        x_in_channel=48,
+        adapter_in_channel=24,
+        mask_downscaling_mid_channel=8,
+        adapter_mid_channel=16,
+        num_output_maps=4,
+    )
+    params = as_jnp(convert_mask_adapter(sd_np(ref, "mp."), "mp"))
+
+    rng = np.random.default_rng(5)
+    feat = rng.standard_normal((2, 48, 8, 8)).astype(np.float32)
+    mask = (rng.random((2, 1, 32, 32)) > 0.5).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(feat), torch.from_numpy(mask)).numpy()  # [B, 1, C]
+    got = mask_adapter_pooling(
+        params, jnp.asarray(feat.transpose(0, 2, 3, 1)), jnp.asarray(mask.transpose(0, 2, 3, 1)), cfg
+    )
+    assert max_abs(want, got) < TOL
+
+
+# ---------------------------------------------------------------------------
+# fusion
+# ---------------------------------------------------------------------------
+
+
+def test_cir_fuse_parity():
+    torch.manual_seed(6)
+    ref = CirFuseModule(image_embed_dim=32, text_embed_dim=32).eval()
+    params = as_jnp(convert_cir_fuse(sd_np(ref, "f."), "f"))
+    rng = np.random.default_rng(6)
+    img = rng.standard_normal((3, 32)).astype(np.float32)
+    txt = rng.standard_normal((3, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = ref.compose_img_text(torch.from_numpy(img), torch.from_numpy(txt))
+    got = cir_fuse_compose(params, jnp.asarray(img), jnp.asarray(txt), None, False)
+    for k in ("repres", "fuseimg", "fusetxt", "dynamic_scalar"):
+        assert max_abs(want[k].numpy(), got[k]) < TOL, k
+
+
+# ---------------------------------------------------------------------------
+# assembled composite (SigLIP stubbed with identical fixed tensors)
+# ---------------------------------------------------------------------------
+
+
+class _StubSigLIP(torch.nn.Module):
+    """Stands in for the open_clip wrapper: fixed features, no weights
+    (reference call shape: lib/support_branch.py:57)."""
+
+    def __init__(self, image_feat, text_feat, grid_nchw):
+        super().__init__()
+        self.image_feat = torch.from_numpy(image_feat)
+        self.text_feat = torch.from_numpy(text_feat)
+        self.grid = torch.from_numpy(grid_nchw)
+
+    def freeze(self):
+        pass
+
+    def forward(self, support_input, change_text):
+        return self.image_feat, self.text_feat, None, self.grid
+
+
+@pytest.mark.parametrize("multimask", [False, True])
+def test_composite_core_parity(monkeypatch, multimask):
+    """Full CirSegModelWithQuerySupportFeat vs core_forward, weights converted
+    from the torch state dict; the SigLIP towers are replaced by the same
+    fixed tensors on both sides (reference: sam_with_sup_branch.py:57-104)."""
+    import lib.support_branch as ref_sb_mod
+    from lib.sam_with_sup_branch import CirSegModelWithQuerySupportFeat
+
+    D = 768  # ViT-B-16-SigLIP-384 dim (support_branch.py:21-22)
+    B, G = 2, 8
+    rng = np.random.default_rng(7)
+    image_feat = rng.standard_normal((B, D)).astype(np.float32)
+    text_feat = rng.standard_normal((B, D)).astype(np.float32)
+    grid_nchw = rng.standard_normal((B, D, G, G)).astype(np.float32)
+
+    stub = _StubSigLIP(image_feat, text_feat, grid_nchw)
+    monkeypatch.setattr(ref_sb_mod, "SigLIP", lambda *a, **kw: stub)
+
+    torch.manual_seed(7)
+    # patch 4 @ 256^2 -> the 64x64 grid the reference decoder hardcodes
+    enc = ImageEncoderViT(
+        img_size=256, patch_size=4, embed_dim=64, depth=2, num_heads=2, out_chans=256,
+        use_rel_pos=True, window_size=4, global_attn_indexes=(1,),
+    )
+    with torch.no_grad():
+        enc.pos_embed.normal_(std=0.05)
+        for blk in enc.blocks:
+            blk.attn.rel_pos_h.normal_(std=0.05)
+            blk.attn.rel_pos_w.normal_(std=0.05)
+    sb = ref_sb_mod.SupportBranch("ViT-B-16-SigLIP-384", None, mask_pooling="MaskAdapterPooling")
+    pe = RefPromptEncoder(embed_dim=256, image_embedding_size=(64, 64))
+    dec = RefMaskDecoder(
+        transformer_dim=256,
+        transformer=RefTwoWayTransformer(depth=2, embedding_dim=256, num_heads=4, mlp_dim=256),
+        num_multimask_outputs=3,
+        iou_head_depth=3,
+        iou_head_hidden_dim=256,
+    )
+    ref = CirSegModelWithQuerySupportFeat(
+        image_encoder=enc, prompt_encoder=pe, support_branch=sb, mask_decoder=dec
+    ).eval()
+    sd = sd_np(ref)
+
+    # cor_tpu mirror config + converted params (siglip subtree unused: the
+    # encode call is monkeypatched to the same fixed tensors)
+    from tests.helpers import TINY_SIGLIP
+    from cor_tpu.models.support_branch import SupportBranchConfig
+
+    cfg = CoreConfig(
+        multimask_output=multimask,
+        compute_dtype="float32",
+        encoder_override=SamEncoderConfig(
+            img_size=256, patch_size=4, embed_dim=64, depth=2, num_heads=2,
+            out_chans=256, window_size=4, global_attn_indexes=(1,),
+        ),
+        decoder_override=MaskDecoderConfig(
+            transformer_dim=256,
+            iou_head_hidden_dim=256,
+            transformer=TwoWayTransformerConfig(depth=2, embedding_dim=256, num_heads=4, mlp_dim=256),
+        ),
+        prompt_override=PromptEncoderConfig(
+            embed_dim=256, image_embedding_size=(64, 64), input_image_size=(256, 256)
+        ),
+        support_override=SupportBranchConfig(
+            siglip_override=TINY_SIGLIP,  # placeholder tower, bypassed below
+            mask_pooling="MaskAdapterPooling",
+            adapter_override=MaskAdapterConfig(
+                x_in_channel=D, adapter_in_channel=512,
+                mask_downscaling_mid_channel=16, adapter_mid_channel=256, num_output_maps=8,
+            ),
+        ),
+    )
+    params = init_core_model(jax.random.PRNGKey(0), cfg)
+    params = as_jnp({
+        "image_encoder": convert_sam_encoder(sd, 2),
+        "support_branch": {
+            "siglip": params["support_branch"]["siglip"],  # unused placeholder
+            "cir_fuse": convert_cir_fuse(sd, "support_branch.cir_fuse"),
+            "ln_channel_first": _ln(sd, "support_branch.ln_channel_first"),
+            "ln_channel_last": _ln(sd, "support_branch.ln_channel_last"),
+            "dim_proj": {
+                "lin1": _lin(sd, "support_branch.dim_proj.0"),
+                "lin2": _lin(sd, "support_branch.dim_proj.3"),
+            },
+            "mask_pooling": convert_mask_adapter(sd, "support_branch.mask_pooling"),
+        },
+        "prompt_encoder": {
+            "pe_layer": {
+                "gaussian_matrix": sd["prompt_encoder.pe_layer.positional_encoding_gaussian_matrix"]
+            },
+            "no_mask_embed": sd["prompt_encoder.no_mask_embed.weight"],
+        },
+        "mask_decoder": convert_sam_decoder(sd),
+    })
+
+    import cor_tpu.models.support_branch as cor_sb_mod
+
+    monkeypatch.setattr(
+        cor_sb_mod,
+        "siglip_encode",
+        lambda p, imgs, toks, c: (
+            jnp.asarray(image_feat),
+            jnp.asarray(text_feat),
+            jnp.asarray(grid_nchw.transpose(0, 2, 3, 1)),  # NHWC grid
+        ),
+    )
+
+    q = rng.standard_normal((B, 3, 256, 256)).astype(np.float32)
+    s_img = rng.standard_normal((B, 3, 32, 32)).astype(np.float32)
+    s_mask = (rng.random((B, 1, 32, 32)) > 0.5).astype(np.float32)
+    text_ids = rng.integers(0, 64, (B, 8)).astype(np.int64)
+
+    with torch.no_grad():
+        want_masks, want_qemb, want_sfeat = ref(
+            torch.from_numpy(q),
+            torch.from_numpy(s_img),
+            torch.from_numpy(text_ids),
+            torch.from_numpy(s_mask),
+            multimask_output=multimask,
+        )
+
+    got_masks, got_qemb, got_sfeat = core_forward(
+        params,
+        jnp.asarray(q.transpose(0, 2, 3, 1)),
+        jnp.asarray(s_img.transpose(0, 2, 3, 1)),
+        jnp.asarray(text_ids.astype(np.int32)),
+        jnp.asarray(s_mask.transpose(0, 2, 3, 1)),
+        cfg,
+        train=False,
+    )
+    assert tuple(want_masks.shape) == tuple(got_masks.shape)
+    assert max_abs(want_sfeat.numpy(), got_sfeat) < TOL
+    assert max_abs(want_qemb.numpy(), np.asarray(got_qemb).transpose(0, 3, 1, 2)) < TOL
+    assert max_abs(want_masks.numpy(), got_masks) < 5 * TOL  # deep composite: tol relaxed 5x
