@@ -37,6 +37,13 @@ def main(argv=None):
     core_cfg = cfg.core_config()
     logger = init_logger(Path(cfg.vaild_model_save_path) / "logs", "eval")
 
+    if not cfg.tokenizer_path and cfg.load_checkpoint_path:
+        logger.warning(
+            "tokenizer_path is unset while evaluating a trained checkpoint: "
+            "texts will be HASH-tokenized with ids unrelated to the trained "
+            "vocab — set tokenizer_path to the SigLIP sentencepiece artifact."
+        )
+
     params = init_core_model(jax.random.PRNGKey(cfg.seed), core_cfg)
     if cfg.load_checkpoint_path:
         ckpt = Path(cfg.load_checkpoint_path)
@@ -78,7 +85,13 @@ def main(argv=None):
             loader = get_valid_loader(cfg, csv_path=csv_path)
             save_soft_pred_masks(predict, params, loader, out_dir)
         loader = get_valid_loader(cfg, csv_path=csv_path)
-        summary = val_metric(predict, params, loader, out_dir / "val_metric.csv")
+        summary = val_metric(
+            predict,
+            params,
+            loader,
+            out_dir / "val_metric.csv",
+            manifest=getattr(loader.dataset, "df", None),
+        )
         logger.info(
             f"[{split_name}] " + ", ".join(f"{k}={v:.4f}" for k, v in summary.items())
         )

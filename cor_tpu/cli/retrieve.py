@@ -1,16 +1,24 @@
-"""Retrieval entry point: build a gallery index from (image, mask) candidates
-and answer composed queries with top-k candidates + segmentation masks.
+"""Retrieval entry point: end-to-end Recall@K over a triplet manifest, plus
+top-k candidate masks for inspection.
 
-New capability relative to the reference (BASELINE.json north star). Demo
-mode runs the full pipeline on synthetic data:
+New capability relative to the reference (BASELINE.json north star). The
+protocol (cor_tpu.retrieval.protocol): every triplet's (query image, query
+mask) is a gallery candidate, every triplet's (support image, support mask,
+change text) is a query, and query i's target is gallery row i — Recall@K is
+measured end-to-end through the sharded gallery scan.
 
-    python -m cor_tpu.cli.retrieve --config configs/vaild_config.yaml --demo
+    # real manifest (COR127K on disk):
+    python -m cor_tpu.cli.retrieve --config configs/vaild_config.yaml
+
+    # synthetic triplets (no data needed — same code path):
+    python -m cor_tpu.cli.retrieve --config configs/vaild_config.yaml --synthetic 32
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+from pathlib import Path
 
 import numpy as np
 
@@ -18,69 +26,90 @@ import numpy as np
 def main(argv=None):
     parser = argparse.ArgumentParser(description="cor_tpu retrieval engine")
     parser.add_argument("--config", required=True)
-    parser.add_argument("--k", type=int, default=10)
-    parser.add_argument("--demo", action="store_true", help="synthetic gallery demo")
+    parser.add_argument("--k", type=int, default=10, help="max K for Recall@K")
+    parser.add_argument(
+        "--synthetic",
+        type=int,
+        default=0,
+        metavar="N",
+        help="run the protocol on N synthetic triplets instead of the manifest",
+    )
+    parser.add_argument("--batch-size", type=int, default=0, help="override config batch size")
+    parser.add_argument(
+        "--dump-top1",
+        action="store_true",
+        help="also decode + report the top-1 candidate mask shape per query",
+    )
     args = parser.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
 
     from cor_tpu.config import load_eval_config
+    from cor_tpu.data.pipeline import CORDataset, DataLoader, SyntheticDataset
     from cor_tpu.models.core_model import init_core_model
     from cor_tpu.parallel import make_mesh
-    from cor_tpu.retrieval.engine import RetrievalEngine
-    from cor_tpu.retrieval.index import (
-        make_candidate_encoder,
-        make_candidate_mask_decoder,
-        make_query_encoder,
-    )
+    from cor_tpu.retrieval.protocol import encode_manifest, evaluate_retrieval
+    from cor_tpu.utils.convert import load_sam_weights, load_siglip_weights
 
     cfg = load_eval_config(args.config)
     core_cfg = cfg.core_config()
     mesh = make_mesh()
     params = init_core_model(jax.random.PRNGKey(cfg.seed), core_cfg)
-
-    if not args.demo:
-        raise SystemExit(
-            "Gallery construction from a dataset manifest requires the COR127K "
-            "data on disk; run with --demo for the synthetic pipeline."
+    if cfg.load_sam_pretrained_checkpoint:
+        params = load_sam_weights(
+            params, cfg.load_sam_pretrained_checkpoint, core_cfg.encoder.depth
+        )
+    if cfg.load_siglip_pretrained_checkpoint:
+        sig = core_cfg.support.siglip
+        params = load_siglip_weights(
+            params, cfg.load_siglip_pretrained_checkpoint, sig.vision.depth, sig.text.depth
         )
 
-    rng = np.random.default_rng(0)
-    n_cand, img = 16, core_cfg.encoder.img_size
-    cand_imgs = rng.standard_normal((n_cand, img, img, 3)).astype(np.float32)
-    cand_masks = (rng.random((n_cand, img, img, 1)) > 0.5).astype(np.float32)
-
-    encode_cand = make_candidate_encoder(core_cfg)
-    cand_emb, cand_img_emb = encode_cand(params, jnp.asarray(cand_imgs), jnp.asarray(cand_masks))
-
-    engine = RetrievalEngine(mesh, k=min(args.k, n_cand))
-    engine.set_gallery(np.asarray(cand_emb))
-
-    s = core_cfg.support.siglip.vision.image_size
-    q = 2
-    encode_q = make_query_encoder(core_cfg)
-    qfeat = encode_q(
-        params,
-        jnp.asarray(rng.standard_normal((q, s, s, 3)).astype(np.float32)),
-        jnp.asarray(rng.integers(2, core_cfg.support.siglip.text.vocab_size, (q, core_cfg.support.siglip.text.context_length)).astype(np.int32)),
-        jnp.asarray((rng.random((q, s, s, 1)) > 0.5).astype(np.float32)),
-    )
-    scores, idx = engine.retrieve(qfeat)
-    decode = make_candidate_mask_decoder(core_cfg)
-    top1 = np.asarray(idx)[:, 0]
-    masks = decode(params, jnp.asarray(np.asarray(cand_img_emb)[top1]), qfeat)
-    print(
-        json.dumps(
-            {
-                "queries": q,
-                "gallery": n_cand,
-                "topk_indices": np.asarray(idx).tolist(),
-                "topk_scores": np.round(np.asarray(scores), 4).tolist(),
-                "mask_shape": list(masks.shape),
-            }
+    batch_size = args.batch_size or cfg.batch_size
+    if args.synthetic:
+        ds = SyntheticDataset(
+            length=args.synthetic,
+            query_img_size=core_cfg.encoder.img_size,
+            support_img_size=core_cfg.support.siglip.vision.image_size,
+            context_length=core_cfg.support.siglip.text.context_length,
+            vocab_size=core_cfg.support.siglip.text.vocab_size,
+            seed=cfg.seed,
         )
-    )
+    else:
+        csv_path = cfg.val_csv_A or cfg.val_csv_B
+        if not csv_path or not Path(csv_path).exists():
+            raise SystemExit(
+                f"Manifest {csv_path!r} not found; pass --synthetic N to run "
+                "the protocol on synthetic triplets."
+            )
+        ds = CORDataset(
+            csv_path=csv_path,
+            dataset_path=cfg.dataset_path,
+            train=False,
+            tokenizer_path=cfg.tokenizer_path,
+        )
+    loader = DataLoader(ds, batch_size, num_workers=cfg.num_workers)
+
+    ks = tuple(k for k in (1, 5, 10) if k <= args.k) or (1,)
+    result = evaluate_retrieval(core_cfg, params, loader, mesh, ks=ks)
+
+    if args.dump_top1:
+        from cor_tpu.retrieval.engine import RetrievalEngine
+        from cor_tpu.retrieval.index import make_candidate_encoder, make_candidate_mask_decoder
+
+        # re-encode a small head of the dataset for the decode demo
+        head = [ds[i] for i in range(min(4, len(ds)))]
+        batch = {k: np.stack([s[k] for s in head]) for k in head[0] if k != "query_mask_path"}
+        encode_cand = make_candidate_encoder(core_cfg)
+        emb, img_emb = encode_cand(
+            params, jnp.asarray(batch["query_img"]), jnp.asarray(batch["query_mask"])
+        )
+        decode = make_candidate_mask_decoder(core_cfg)
+        masks = decode(params, img_emb, emb)
+        result["top1_mask_shape"] = list(np.asarray(masks).shape)
+
+    print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v) for k, v in result.items()}))
 
 
 if __name__ == "__main__":

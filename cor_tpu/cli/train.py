@@ -30,6 +30,14 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="cor_tpu trainer")
     parser.add_argument("--config", required=True, help="experiment YAML")
     parser.add_argument("--synthetic", action="store_true", help="train on synthetic data (smoke mode)")
+    parser.add_argument(
+        "--profile",
+        type=int,
+        default=0,
+        metavar="N",
+        help="capture a jax.profiler trace of the first N train steps "
+        "(written under {train_model_save_path}/profile)",
+    )
     args = parser.parse_args(argv)
 
     import jax
@@ -56,6 +64,16 @@ def main(argv=None):
         for p in (cfg.dataset_path, cfg.train_csv, cfg.val_csv):
             if not p or not Path(p).exists():
                 raise FileNotFoundError(f"Required data path missing: {p!r}")
+        if not cfg.tokenizer_path and (
+            cfg.load_siglip_pretrained_checkpoint or cfg.load_checkpoint_path
+        ):
+            logger.warning(
+                "tokenizer_path is unset while pretrained SigLIP/CORE weights are "
+                "configured: texts will be HASH-tokenized with ids unrelated to "
+                "the trained vocab — change-text conditioning will be garbage. "
+                "Set tokenizer_path to the SigLIP sentencepiece artifact "
+                "(reference tokenizes via open_clip — utils/dataloader.py:128)."
+            )
 
     params = init_core_model(jax.random.PRNGKey(cfg.seed), core_cfg)
     if cfg.load_sam_pretrained_checkpoint:
@@ -123,7 +141,16 @@ def main(argv=None):
     from cor_tpu.utils.observability import SummaryWriter
 
     writer = SummaryWriter(Path(cfg.train_model_save_path) / "tb")
-    trainer = Trainer(cfg, state, tx, schedule, logger, writer=writer)
+    trainer = Trainer(
+        cfg,
+        state,
+        tx,
+        schedule,
+        logger,
+        writer=writer,
+        profile_steps=args.profile,
+        profile_dir=Path(cfg.train_model_save_path) / "profile",
+    )
     best = trainer.fit(train_loader, val_loader, start_epoch=start_epoch)
     writer.close()
     logger.info(

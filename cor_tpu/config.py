@@ -48,6 +48,10 @@ class TrainConfig:
     load_sam_pretrained_checkpoint: Optional[str] = None
     load_siglip_pretrained_checkpoint: Optional[str] = None
     load_checkpoint_path: Optional[str] = None
+    # SigLIP sentencepiece tokenizer artifact (HF directory or vocab file);
+    # None -> deterministic hash fallback (fine for synthetic/smoke runs,
+    # garbage with pretrained SigLIP weights — the CLIs warn loudly)
+    tokenizer_path: Optional[str] = None
 
     # runtime (cor_tpu additions)
     compute_dtype: str = "bfloat16"
@@ -87,6 +91,7 @@ class EvalConfig:
     load_checkpoint_path: Optional[str] = None
     load_sam_pretrained_checkpoint: Optional[str] = None
     load_siglip_pretrained_checkpoint: Optional[str] = None
+    tokenizer_path: Optional[str] = None
     num_workers: int = 8
 
     def core_config(self) -> CoreConfig:

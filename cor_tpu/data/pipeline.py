@@ -145,6 +145,8 @@ class CORDataset:
             "support_mask": _to_float_img(s_mask, self.support_img_size, False),
             "text": self.tokenizer(str(row["Text"]))[0],
             "native_hw": np.array(native_hw, np.int32),
+            # native-resolution GT source for val_metric (stays on host)
+            "query_mask_path": str(paths["query_mask"]),
         }
         return sample
 
@@ -278,7 +280,7 @@ def get_train_loader(cfg, tokenizer_path: Optional[str] = None) -> DataLoader:
         csv_path=cfg.train_csv,
         dataset_path=cfg.dataset_path,
         train=True,
-        tokenizer_path=tokenizer_path,
+        tokenizer_path=tokenizer_path or getattr(cfg, "tokenizer_path", None),
         seed=cfg.seed,
     )
     return DataLoader(
@@ -297,7 +299,7 @@ def get_valid_loader(cfg, csv_path: Optional[str] = None, tokenizer_path=None) -
         csv_path=csv_path or cfg.val_csv,
         dataset_path=cfg.dataset_path,
         train=False,
-        tokenizer_path=tokenizer_path,
+        tokenizer_path=tokenizer_path or getattr(cfg, "tokenizer_path", None),
     )
     return DataLoader(
         ds,

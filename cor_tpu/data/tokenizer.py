@@ -1,9 +1,21 @@
 """Text tokenization for the SigLIP text tower.
 
 The reference tokenizes in-dataset with open_clip's SigLIP tokenizer — a
-T5-style sentencepiece model producing [64] ids, canonicalized text, padded
-to full context (reference: utils/dataloader.py:128,185;
-lib/support_model/siglip_openclip.py:15).
+T5-style sentencepiece model wrapped by open_clip's HFTokenizer with
+``clean='canonicalize'`` (reference: utils/dataloader.py:128,185;
+lib/support_model/siglip_openclip.py:15). The exact framing that produces:
+
+    canonicalize(text) -> sentencepiece ids -> append eos(=1)
+    -> truncate so (ids + eos) fits context_length (HF truncation keeps the
+       eos as the final kept token)
+    -> right-pad with pad(=0) to context_length
+
+so the id layout is ``[t0 .. tn, eos, 0, 0, ...]`` — position -1 is a PAD
+token unless the text fills the context. SigLIP applies NO attention mask and
+pools the literal last position (open_clip pool_type='last'; HF
+SiglipTextModel reads last_hidden_state[:, -1]), so pads are contextual
+summary positions by construction. Both tokenizers here reproduce that
+framing exactly.
 
 Offline/zero-egress environments can't fetch the sentencepiece vocab, so the
 tokenizer is an interface:
@@ -12,7 +24,7 @@ tokenizer is an interface:
   tokenizer directory is available (uses `transformers`).
 - ``HashTokenizer``: deterministic hashing fallback (whitespace words ->
   stable vocab buckets) so the full pipeline runs and tests are meaningful
-  without external artifacts.
+  without external artifacts. Same framing, different word->id map.
 """
 
 from __future__ import annotations
@@ -24,23 +36,40 @@ from typing import Sequence
 
 import numpy as np
 
+PAD_ID = 0
+EOS_ID = 1
+
 
 def canonicalize_text(text: str) -> str:
-    """SigLIP canonicalization: strip punctuation, lowercase, squeeze spaces
-    (open_clip `canonicalize` tokenizer_kwargs for SigLIP models)."""
+    """SigLIP canonicalization: underscores to spaces, strip punctuation,
+    lowercase, squeeze spaces (open_clip `canonicalize_text`, selected for
+    SigLIP models via tokenizer_kwargs clean='canonicalize')."""
     text = text.replace("_", " ")
     text = text.translate(str.maketrans("", "", string.punctuation))
     text = text.lower()
     return re.sub(r"\s+", " ", text).strip()
 
 
+def frame_ids(ids: Sequence[int], context_length: int) -> np.ndarray:
+    """Apply the SigLIP framing to raw content ids: truncate to leave room
+    for eos, append eos, right-pad with 0."""
+    ids = list(ids)[: context_length - 1]
+    ids.append(EOS_ID)
+    out = np.full((context_length,), PAD_ID, np.int32)
+    out[: len(ids)] = ids
+    return out
+
+
 class HashTokenizer:
     """Deterministic word-hash tokenizer: id = stable_hash(word) % (vocab-2) + 2.
 
-    Reserves 0 = pad, 1 = eos. Matches the SigLIP framing: pad to full
-    context with the sequence occupying the prefix and eos before padding, so
-    the text tower's last-token pooling sees a stable summary position.
+    Reserves 0 = pad, 1 = eos (the T5/SigLIP sentencepiece convention). Uses
+    the exact SigLIP framing (see module docstring): content prefix, eos
+    immediately after, zero padding to the right; position -1 is pad for
+    short texts.
     """
+
+    is_exact = False
 
     def __init__(self, context_length: int = 64, vocab_size: int = 32000):
         self.context_length = context_length
@@ -56,18 +85,19 @@ class HashTokenizer:
         out = np.zeros((len(texts), self.context_length), np.int32)
         for i, t in enumerate(texts):
             words = canonicalize_text(t).split(" ")
-            ids = [self._word_id(w) for w in words if w][: self.context_length - 1]
-            ids.append(1)  # eos
-            # SigLIP pools the LAST position: right-align so position -1 is eos
-            out[i, : len(ids)] = ids
-            out[i, len(ids) :] = 0
-            # move eos to the final slot for last-token pooling stability
-            out[i, -1] = 1
+            out[i] = frame_ids([self._word_id(w) for w in words if w], self.context_length)
         return out
 
 
 class SentencePieceTokenizer:
-    """Exact SigLIP tokenizer via a local HF tokenizer artifact."""
+    """Exact SigLIP tokenizer via a local HF tokenizer artifact.
+
+    Mirrors open_clip HFTokenizer.__call__: clean each text with
+    canonicalize, then batch-encode with max_length padding + truncation
+    (reference: utils/dataloader.py:128 via open_clip.get_tokenizer).
+    """
+
+    is_exact = True
 
     def __init__(self, path: str, context_length: int = 64):
         from transformers import AutoTokenizer
@@ -94,11 +124,20 @@ def get_tokenizer(
     context_length: int = 64,
     vocab_size: int = 32000,
 ):
-    """Tokenizer factory: exact sentencepiece when an artifact is available,
-    hash fallback otherwise."""
+    """Tokenizer factory: exact sentencepiece when an artifact is configured,
+    hash fallback otherwise.
+
+    An explicitly configured ``tokenizer_path`` that fails to load RAISES —
+    silently hashing would feed a pretrained text tower ids unrelated to its
+    trained vocab (garbage conditioning on the flagship COR127K path).
+    """
     if tokenizer_path:
         try:
             return SentencePieceTokenizer(tokenizer_path, context_length)
-        except Exception:
-            pass
+        except Exception as e:
+            raise RuntimeError(
+                f"tokenizer_path={tokenizer_path!r} could not be loaded ({e}); "
+                "refusing to fall back to the hash tokenizer for a configured "
+                "artifact — fix the path or unset tokenizer_path."
+            ) from e
     return HashTokenizer(context_length, vocab_size)

@@ -5,20 +5,29 @@ Parity targets:
   sigmoid + per-sample min-max renorm, resize each prediction to its native
   GT size, binarize > 0.5, save as 0/255 PNG named
   ``{pair_id}_{query_mask_name}`` under ``{save_path}/{pred_save_dir}``.
+  Each sample save is wrapped in try/continue so one bad sample never kills
+  a split run (vailder.py:442-492).
 - ``save_soft_pred_masks`` (vailder.py:513-656): same but grayscale
   (prob * 255) without thresholding.
 - ``val_metric`` — the reference ships this broken: my_test.py:12 imports it
   but it only exists commented-out (vailder.py:13-365). Here it is a working
-  API: per-sample CSV with binarized Dice/IoU using the all-zero-mask => 1.0
-  convention plus soft metrics, and summary means.
+  API with the commented semantics: per-sample metrics at NATIVE GT
+  resolution, the binarized metric set {Dice, MAE, IoU, mDice, mIoU} with the
+  all-zero-mask => 1.0 convention (vailder.py:225-365), streamed to a CSV
+  with the reference's column schema (vailder.py:117-140), plus summary
+  means. Native GT is read from disk when the loader provides
+  ``query_mask_path``; otherwise the batched GT is resized back to
+  ``native_hw``.
 
 Device work (forward + normalize) runs batched under jit; per-sample native
-resizes and PNG IO stay on the host.
+resizes, metrics, and PNG IO stay on the host in numpy (ragged shapes would
+otherwise trigger one XLA compile per distinct native size).
 """
 
 from __future__ import annotations
 
 import csv
+import logging
 import os
 from pathlib import Path
 from typing import Dict, Iterable, List, Optional
@@ -28,10 +37,9 @@ from PIL import Image
 
 import jax.numpy as jnp
 
-from cor_tpu.train.metrics import (
-    all_soft_metrics,
-    binarized_dice_iou,
-)
+log = logging.getLogger("cor_tpu.eval")
+
+_PRED_KEYS = ("query_img", "support_img", "support_mask", "text")
 
 
 def _resize_to_native(prob: np.ndarray, hw) -> np.ndarray:
@@ -40,7 +48,50 @@ def _resize_to_native(prob: np.ndarray, hw) -> np.ndarray:
     import cv2
 
     h, w = int(hw[0]), int(hw[1])
+    if prob.shape == (h, w):
+        return prob
     return cv2.resize(prob, (w, h), interpolation=cv2.INTER_LINEAR)
+
+
+# ---------------------------------------------------------------------------
+# per-sample numpy metrics (binarized set — vailder.py:225-365 semantics)
+# ---------------------------------------------------------------------------
+
+
+def _np_dice(pred_soft: np.ndarray, gt_bin: np.ndarray, smooth=1e-5, threshold=0.5) -> float:
+    p = (pred_soft > threshold).astype(np.float64)
+    g = gt_bin.astype(np.float64)
+    inter, ps, gs = float((p * g).sum()), float(p.sum()), float(g.sum())
+    if ps == 0.0 and gs == 0.0:
+        return 1.0  # all-zero convention (vailder.py:253-261)
+    return (2.0 * inter + smooth) / (ps + gs + smooth)
+
+
+def _np_iou(pred_soft: np.ndarray, gt_bin: np.ndarray, smooth=1e-5, threshold=0.5) -> float:
+    p = (pred_soft > threshold).astype(np.float64)
+    g = gt_bin.astype(np.float64)
+    inter, ps, gs = float((p * g).sum()), float(p.sum()), float(g.sum())
+    if ps == 0.0 and gs == 0.0:
+        return 1.0
+    return (inter + smooth) / (ps + gs - inter + smooth)
+
+
+def sample_metrics(pred_soft: np.ndarray, gt_bin: np.ndarray) -> Dict[str, float]:
+    """The commented val_metric's per-sample metric set: binarized Dice/IoU,
+    soft MAE, and mDice/mIoU as the fg/bg average where the background
+    prediction is the SOFT complement re-binarized (vailder.py:329-365)."""
+    return {
+        "Dice": _np_dice(pred_soft, gt_bin),
+        "MAE": float(np.abs(pred_soft - gt_bin).mean()),
+        "IoU": _np_iou(pred_soft, gt_bin),
+        "mDice": 0.5 * (_np_dice(pred_soft, gt_bin) + _np_dice(1.0 - pred_soft, 1.0 - gt_bin)),
+        "mIoU": 0.5 * (_np_iou(pred_soft, gt_bin) + _np_iou(1.0 - pred_soft, 1.0 - gt_bin)),
+    }
+
+
+# ---------------------------------------------------------------------------
+# mask dumps
+# ---------------------------------------------------------------------------
 
 
 def save_pred_masks(
@@ -55,35 +106,36 @@ def save_pred_masks(
     """Run predict_fn batch-wise, dump one PNG per triplet.
 
     predict_fn(params, batch) must return normalized probabilities
-    [B, H, W, 1] (cor_tpu.train.step.make_predict_step).
+    [B, H, W, 1] (cor_tpu.train.step.make_predict_step). Per-sample failures
+    are logged and skipped (reference: vailder.py:442-492 try/continue).
     """
     out_dir = Path(save_path) / pred_save_dir
     out_dir.mkdir(parents=True, exist_ok=True)
     written: List[Path] = []
     sample_idx = 0
     for batch in loader:
-        dev_batch = {
-            k: jnp.asarray(batch[k])
-            for k in ("query_img", "support_img", "support_mask", "text")
-        }
+        dev_batch = {k: jnp.asarray(batch[k]) for k in _PRED_KEYS}
         probs = np.asarray(predict_fn(params, dev_batch))[..., 0]  # [B, H, W]
         for i in range(probs.shape[0]):
-            native = batch.get("native_hw")
-            hw = native[i] if native is not None else probs.shape[1:3]
-            p = _resize_to_native(probs[i], hw)
-            if hard:
-                img = ((p > 0.5).astype(np.uint8)) * 255  # vailder.py:473
-            else:
-                img = np.clip(p * 255.0, 0, 255).astype(np.uint8)
-            pair_id = int(batch["pair_id"][i])
-            name = (
-                mask_names[sample_idx]
-                if mask_names is not None
-                else f"mask_{sample_idx:06d}.png"
-            )
-            path = out_dir / f"{pair_id}_{name}"
-            Image.fromarray(img, "L").save(path)
-            written.append(path)
+            try:
+                native = batch.get("native_hw")
+                hw = native[i] if native is not None else probs.shape[1:3]
+                p = _resize_to_native(probs[i], hw)
+                if hard:
+                    img = ((p > 0.5).astype(np.uint8)) * 255  # vailder.py:473
+                else:
+                    img = np.clip(p * 255.0, 0, 255).astype(np.uint8)
+                pair_id = int(batch["pair_id"][i])
+                name = (
+                    mask_names[sample_idx]
+                    if mask_names is not None
+                    else f"mask_{sample_idx:06d}.png"
+                )
+                path = out_dir / f"{pair_id}_{name}"
+                Image.fromarray(img, "L").save(path)
+                written.append(path)
+            except Exception as e:  # one bad sample must not kill the split
+                log.warning(f"skipping sample {sample_idx} ({e})")
             sample_idx += 1
     return written
 
@@ -96,51 +148,95 @@ def save_soft_pred_masks(predict_fn, params, loader, save_path, pred_save_dir="s
     return save_pred_masks(predict_fn, params, loader, save_path, pred_save_dir, hard=False, mask_names=mask_names)
 
 
+# ---------------------------------------------------------------------------
+# per-sample CSV metrics at native GT resolution
+# ---------------------------------------------------------------------------
+
+_META_COLUMNS = (
+    "Query_img",
+    "Query_mask",
+    "Support_img",
+    "Support_mask",
+    "Text",
+    "Compose",
+    "Dataset",
+    "Target",
+    "query_cat",
+)
+
+
+def _native_gt(batch, i, hw) -> Optional[np.ndarray]:
+    """Binary GT at native resolution: from disk when the loader carries
+    query_mask_path, else the batched (data-res) GT resized back."""
+    paths = batch.get("query_mask_path")
+    if paths is not None:
+        path = str(paths[i])
+        if path and os.path.exists(path):
+            gt = np.asarray(Image.open(path).convert("L"), np.float32) / 255.0
+            return (gt > 0.5).astype(np.float32)
+    gt = batch.get("query_mask")
+    if gt is None:
+        return None
+    g = _resize_to_native(np.asarray(gt[i], np.float32)[..., 0], hw)
+    return (g > 0.5).astype(np.float32)
+
+
 def val_metric(
     predict_fn,
     params,
     loader: Iterable[Dict[str, np.ndarray]],
     csv_path: str | Path,
-    threshold: float = 0.5,
+    manifest=None,
 ) -> Dict[str, float]:
-    """Per-sample metric CSV + summary means (resurrected vailder.py:225-326
-    semantics: binarized Dice/IoU with all-zero => 1.0, plus soft metrics)."""
+    """Per-sample metric CSV + summary means at native GT resolution
+    (resurrected vailder.py:13-365 semantics).
+
+    Per sample: resize the normalized prediction to its native (h, w),
+    re-stretch to [0, 1] (the reference normalizes AFTER interpolating to GT
+    resolution — vailder.py:89-98; here predict_fn normalizes at the model
+    grid, so the post-resize re-stretch restores the same range), then the
+    binarized metric set against the native binary GT.
+
+    ``manifest`` (the split's DataFrame, e.g. ``CORDataset.df``) joins the
+    reference's metadata columns into the CSV by row order; geometry matches
+    save_hard_pred_masks exactly (same cv2 resize to the same native_hw).
+    """
     csv_path = Path(csv_path)
     csv_path.parent.mkdir(parents=True, exist_ok=True)
     rows = []
+    sample_idx = 0
     for batch in loader:
-        dev_batch = {
-            k: jnp.asarray(batch[k])
-            for k in ("query_img", "support_img", "support_mask", "text")
-        }
-        probs = predict_fn(params, dev_batch)  # [B, H, W, 1]
-        gt = jnp.asarray(batch["query_mask"], jnp.float32)
-        if probs.shape[1:3] != gt.shape[1:3]:
-            from cor_tpu.ops.resize import resize_bilinear
+        dev_batch = {k: jnp.asarray(batch[k]) for k in _PRED_KEYS}
+        probs = np.asarray(predict_fn(params, dev_batch))[..., 0]  # [B, H, W]
+        for i in range(probs.shape[0]):
+            try:
+                native = batch.get("native_hw")
+                hw = native[i] if native is not None else probs.shape[1:3]
+                p = _resize_to_native(probs[i].astype(np.float32), hw)
+                p = (p - p.min()) / (p.max() - p.min() + 1e-8)
+                gt = _native_gt(batch, i, hw)
+                if gt is None:
+                    raise ValueError("no GT available for sample")
+                row = {"Id": int(batch["pair_id"][i])}
+                if manifest is not None and sample_idx < len(manifest):
+                    m = manifest.iloc[sample_idx]
+                    for c in _META_COLUMNS:
+                        if c in m:
+                            row[c] = m[c]
+                row.update(sample_metrics(p, gt))
+                rows.append(row)
+            except Exception as e:
+                log.warning(f"val_metric: skipping sample {sample_idx} ({e})")
+            sample_idx += 1
 
-            probs = resize_bilinear(probs, gt.shape[1:3])
-        soft = {k: np.asarray(v) for k, v in all_soft_metrics(probs, gt).items()}
-        hard = {
-            k: np.asarray(v) for k, v in binarized_dice_iou(probs, gt, threshold).items()
-        }
-        for i in range(gt.shape[0]):
-            rows.append(
-                {
-                    "pair_id": int(batch["pair_id"][i]),
-                    **{k: float(v[i]) for k, v in soft.items()},
-                    **{k: float(v[i]) for k, v in hard.items()},
-                }
-            )
-
-    fields = list(rows[0].keys()) if rows else ["pair_id"]
+    fields = list(rows[0].keys()) if rows else ["Id"]
     with open(csv_path, "w", newline="") as f:
         writer = csv.DictWriter(f, fieldnames=fields)
         writer.writeheader()
         writer.writerows(rows)
 
-    summary = {}
-    for k in fields:
-        if k == "pair_id":
-            continue
-        summary[k] = float(np.mean([r[k] for r in rows])) if rows else 0.0
+    metric_keys = ("Dice", "MAE", "IoU", "mDice", "mIoU")
+    summary = {
+        k: (float(np.mean([r[k] for r in rows])) if rows else 0.0) for k in metric_keys
+    }
     return summary

@@ -1,0 +1,95 @@
+"""End-to-end retrieval accuracy protocol: Recall@K over a triplet manifest.
+
+The COR task (reference README.md:32-33): given a support image + support
+object mask + change text, retrieve the target object among gallery
+candidates. The reference repo computes Recall@K offline from dumped masks
+(no gallery-scan code to port — SURVEY.md §0); this protocol makes it a
+first-class measured API, per the BASELINE.json north star (Recall@1 within
+0.5 pts of the reference protocol).
+
+Protocol (target = the query's own gallery object):
+- every triplet row contributes ONE gallery candidate — its (query image,
+  query GT mask) pair, embedded by mask-pooling the SAM image embedding
+  (cor_tpu.retrieval.index.make_candidate_encoder);
+- every row is also ONE query — its (support image, support mask, change
+  text), embedded by the support branch;
+- query i's correct answer is gallery row i; Recall@K = fraction of queries
+  whose own object appears in the cosine top-K.
+
+Runs on any loader that yields CORDataset/SyntheticDataset-shaped batches,
+so the same code path serves synthetic smoke tests and the real COR127K
+manifest.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from cor_tpu.models.core_model import CoreConfig
+from cor_tpu.retrieval.engine import RetrievalEngine, recall_at_k
+from cor_tpu.retrieval.index import make_candidate_encoder, make_query_encoder
+
+
+def encode_manifest(
+    cfg: CoreConfig,
+    params,
+    batches: Iterable[Dict[str, np.ndarray]],
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One pass over the triplet loader -> (gallery [G, D], queries [G, D],
+    pair_ids [G]). Row i of both matrices comes from triplet i."""
+    encode_cand = make_candidate_encoder(cfg)
+    encode_query = make_query_encoder(cfg)
+    gallery, queries, ids = [], [], []
+    for b in batches:
+        emb, _ = encode_cand(
+            params, jnp.asarray(b["query_img"]), jnp.asarray(b["query_mask"])
+        )
+        q = encode_query(
+            params,
+            jnp.asarray(b["support_img"]),
+            jnp.asarray(b["text"]),
+            jnp.asarray(b["support_mask"]),
+        )
+        gallery.append(np.asarray(emb))
+        queries.append(np.asarray(q))
+        ids.append(np.asarray(b["pair_id"]))
+    return (
+        np.concatenate(gallery, axis=0),
+        np.concatenate(queries, axis=0),
+        np.concatenate(ids, axis=0),
+    )
+
+
+def evaluate_retrieval(
+    cfg: CoreConfig,
+    params,
+    loader: Iterable[Dict[str, np.ndarray]],
+    mesh,
+    ks: Tuple[int, ...] = (1, 5, 10),
+    query_batch: int = 256,
+) -> Dict[str, float]:
+    """Full protocol: encode, sharded gallery scan, Recall@K.
+
+    Returns {"recall@1": ..., "recall@5": ..., "recall@10": ..., "gallery_size": G}.
+    """
+    gallery, queries, _ = encode_manifest(cfg, params, loader)
+    g = gallery.shape[0]
+    k_max = min(max(ks), g)
+    engine = RetrievalEngine(mesh, k=k_max)
+    engine.set_gallery(gallery)
+    # queries are L2-normed by the support branch already; normalize
+    # defensively so cosine stays a dot product
+    queries = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
+
+    retrieved = []
+    for s in range(0, g, query_batch):
+        _, idx = engine.retrieve(jnp.asarray(queries[s : s + query_batch]))
+        retrieved.append(np.asarray(idx))
+    retrieved = np.concatenate(retrieved, axis=0)  # [G, k_max]
+    targets = np.arange(g)
+    out = recall_at_k(retrieved, targets, ks=[k for k in ks if k <= g])
+    out["gallery_size"] = float(g)
+    return out

@@ -59,6 +59,8 @@ class Trainer:
         logger,
         mesh=None,
         writer=None,
+        profile_steps: int = 0,
+        profile_dir=None,
     ):
         self.cfg = cfg
         self.core_cfg = cfg.core_config()
@@ -80,6 +82,10 @@ class Trainer:
         self.eval_step = make_eval_step(self.core_cfg)
         self.best = BestTracker()
         self.rng = jax.random.PRNGKey(cfg.seed)
+        # --profile N: capture a jax.profiler trace of the first N train steps
+        self.profile_steps = profile_steps
+        self.profile_dir = profile_dir
+        self._profiling = False
 
     # ------------------------------------------------------------------
     def train_epoch(self, loader, epoch: int) -> float:
@@ -106,6 +112,15 @@ class Trainer:
 
         try:
             for batch_idx, batch in enumerate(loader, start=1):
+                if self.profile_steps and batch_idx == 1 and not self._profiling:
+                    from pathlib import Path
+
+                    Path(self.profile_dir).mkdir(parents=True, exist_ok=True)
+                    jax.profiler.start_trace(str(self.profile_dir))
+                    self._profiling = True
+                    self.logger.info(
+                        f"[Profile]: tracing {self.profile_steps} steps -> {self.profile_dir}"
+                    )
                 timer.tic()
                 batch = shard_batch(self.mesh, self._device_batch(batch))
                 self.state, metrics = self.train_step(
@@ -113,6 +128,12 @@ class Trainer:
                 )
                 pending.append(metrics["total_loss"])
                 timer.toc()
+                if self._profiling and batch_idx >= self.profile_steps:
+                    jax.block_until_ready(metrics["total_loss"])  # capture real device work
+                    jax.profiler.stop_trace()
+                    self._profiling = False
+                    self.profile_steps = 0  # consume-once
+                    self.logger.info(f"[Profile]: trace written to {self.profile_dir}")
                 if batch_idx == 1 or batch_idx % cfg.batch_record_interval == 0 or batch_idx == total_batches:
                     drain()
                     self.logger.info(

@@ -118,15 +118,58 @@ def test_augment_chain_preserves_pairing(rng):
 
 
 def test_hash_tokenizer_framing():
+    # SigLIP framing (open_clip HFTokenizer + T5 sentencepiece semantics):
+    # [t0..tn, eos, 0, ...] — eos right after the content, zero padding after,
+    # position -1 is PAD for short texts (the text tower pools the literal
+    # last position with no attention mask).
     tok = HashTokenizer(context_length=12, vocab_size=100)
     ids = tok(["Change the RED hat to blue!", "Change the red hat to blue"])
     assert ids.shape == (2, 12)
     # canonicalization makes the two rows identical
     np.testing.assert_array_equal(ids[0], ids[1])
-    assert ids[0, -1] == 1  # eos at the pooled (last) slot
     assert ids.dtype == np.int32
+    assert (ids[0, :6] >= 2).all()  # 6 content words
+    assert ids[0, 6] == 1  # eos immediately after content
+    assert (ids[0, 7:] == 0).all()  # pad to the right; position -1 is pad
+    # truncation leaves room for eos (HF truncation keeps special tokens)
+    long = tok(" ".join(["word%d" % i for i in range(40)]))
+    assert long[0, -1] == 1 and (long[0, :-1] >= 2).all()
     # punctuation is removed (not replaced by space), underscores become spaces
     assert canonicalize_text("A_B,c!  d") == "a bc d"
+
+
+def test_sentencepiece_tokenizer_matches_framing(tmp_path):
+    """Build a toy offline HF tokenizer artifact (WordLevel + eos template —
+    the T5/SigLIP post-processing shape) and check the wrapper reproduces the
+    exact open_clip HFTokenizer call semantics: canonicalize -> encode ->
+    max_length pad/truncate, eos after content, pad id 0."""
+    tokenizers = pytest.importorskip("tokenizers")
+    from tokenizers import Tokenizer, models, pre_tokenizers, processors
+    from transformers import PreTrainedTokenizerFast
+
+    words = ["change", "the", "red", "hat", "to", "blue", "a", "b"]
+    vocab = {"<pad>": 0, "</s>": 1, "<unk>": 2}
+    vocab.update({w: i + 3 for i, w in enumerate(words)})
+    t = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
+    t.pre_tokenizer = pre_tokenizers.Whitespace()
+    t.post_processor = processors.TemplateProcessing(
+        single="$A </s>", special_tokens=[("</s>", 1)]
+    )
+    fast = PreTrainedTokenizerFast(
+        tokenizer_object=t, pad_token="<pad>", eos_token="</s>", unk_token="<unk>"
+    )
+    art = tmp_path / "toy_tok"
+    fast.save_pretrained(str(art))
+
+    from cor_tpu.data.tokenizer import SentencePieceTokenizer, frame_ids, get_tokenizer
+
+    tok = SentencePieceTokenizer(str(art), context_length=10)
+    ids = tok(["Change the RED hat!"])  # canonicalize lowers + strips "!"
+    content = [vocab["change"], vocab["the"], vocab["red"], vocab["hat"]]
+    np.testing.assert_array_equal(ids[0], frame_ids(content, 10))
+    # explicit-but-broken path raises instead of silently hashing
+    with pytest.raises(RuntimeError, match="tokenizer_path"):
+        get_tokenizer(str(tmp_path / "missing"), 10)
 
 
 def test_synthetic_dataset_deterministic():

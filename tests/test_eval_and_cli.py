@@ -56,10 +56,75 @@ def test_val_metric_csv(tmp_path, tiny_predict):
     with open(tmp_path / "m.csv") as f:
         rows = list(csv.DictReader(f))
     assert len(rows) == 5
-    expected_cols = {"pair_id", "dice", "mae", "iou", "mdice", "miou", "dice_bin", "iou_bin"}
+    # reference CSV schema (vailder.py:117-140 metric columns)
+    expected_cols = {"Id", "Dice", "MAE", "IoU", "mDice", "mIoU"}
     assert expected_cols.issubset(rows[0].keys())
-    for k in ("dice", "iou", "dice_bin", "iou_bin"):
+    for k in ("Dice", "IoU", "mDice", "mIoU"):
         assert 0.0 <= summary[k] <= 1.0
+
+
+def test_val_metric_native_resolution_geometry(tmp_path, tiny_predict):
+    """val_metric evaluates per sample at the native GT size — the same
+    geometry save_hard_pred_masks dumps (non-square 48x80 here). A perfect
+    'prediction' of the native GT must score Dice = IoU = 1.0."""
+    from cor_tpu.eval.validator import sample_metrics
+
+    # geometry check: metrics computed on arrays at native_hw
+    gt = np.zeros((48, 80), np.float32)
+    gt[10:30, 20:60] = 1.0
+    m = sample_metrics(gt, gt)
+    assert m["Dice"] == pytest.approx(1.0, abs=1e-4)
+    assert m["IoU"] == pytest.approx(1.0, abs=1e-4)
+    assert m["MAE"] == 0.0
+    # all-zero convention (vailder.py:253-261): empty GT + empty pred => 1.0
+    z = np.zeros((48, 80), np.float32)
+    mz = sample_metrics(z, z)
+    assert mz["Dice"] == 1.0 and mz["IoU"] == 1.0
+
+    # end-to-end: native GT read from disk via query_mask_path
+    predict, params = tiny_predict
+    gt_png = tmp_path / "native_gt.png"
+    from PIL import Image as PILImage
+
+    PILImage.fromarray((gt * 255).astype(np.uint8), "L").save(gt_png)
+
+    class OneBatch:
+        def __iter__(self):
+            ds = SyntheticDataset(
+                length=1, query_img_size=64, support_img_size=32,
+                context_length=8, vocab_size=64, native_hw=(48, 80), seed=3,
+            )
+            b = {k: np.stack([v]) for k, v in ds[0].items()}
+            b["query_mask_path"] = np.array([str(gt_png)])
+            yield b
+
+    summary = val_metric(predict, params, OneBatch(), tmp_path / "native.csv")
+    with open(tmp_path / "native.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 1
+    assert 0.0 <= float(rows[0]["Dice"]) <= 1.0
+
+
+def test_val_metric_skips_bad_sample(tmp_path, tiny_predict):
+    """Per-sample robustness (vailder.py:442-492): a corrupt sample is logged
+    and skipped, the rest of the split still evaluates."""
+    predict, params = tiny_predict
+
+    class Loader:
+        def __iter__(self):
+            ds = SyntheticDataset(
+                length=2, query_img_size=64, support_img_size=32,
+                context_length=8, vocab_size=64, native_hw=(48, 80), seed=3,
+            )
+            b = {k: np.stack([ds[0][k], ds[1][k]]) for k in ds[0]}
+            # first sample: invalid native size -> cv2 resize raises
+            b["native_hw"] = np.array([[0, 0], [48, 80]], np.int32)
+            yield b
+
+    summary = val_metric(predict, params, Loader(), tmp_path / "skip.csv")
+    with open(tmp_path / "skip.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 1  # bad sample skipped, good sample kept
 
 
 def test_config_roundtrip(tmp_path):
