@@ -223,11 +223,33 @@ def two_way_transformer(
     queries = point_embedding
     query_pe = point_embedding
 
+    # whole-layer Pallas fusion: keys stay VMEM-resident across every stage
+    # of a TwoWayAttentionBlock (one HBM read + one write per layer instead
+    # of ~5 round trips) — cor_tpu.ops.pallas.two_way_layer
+    from cor_tpu.ops.pallas.two_way_layer import _T as _TOK_PAD, _TILE as _ROW_TILE
+
+    layer_fused = (
+        fused
+        and (H * W) % _ROW_TILE == 0
+        and point_embedding.shape[1] <= _TOK_PAD
+        and C % cfg.num_heads == 0
+    )
+
     for i, lp in enumerate(p["layers"]):
-        queries, keys = _two_way_block(
-            lp, queries, keys, query_pe, key_pe, cfg.num_heads,
-            skip_first_layer_pe=(i == 0), fused=fused,
-        )
+        if layer_fused:
+            from cor_tpu.ops.pallas.two_way_layer import two_way_layer_fused
+
+            kpe_l = _matmul_nobias(lp["cross_attn_t2i"]["k_proj"], key_pe)[0]
+            qpe_l = _matmul_nobias(lp["cross_attn_i2t"]["q_proj"], key_pe)[0]
+            queries, keys = two_way_layer_fused(
+                lp, queries, query_pe, keys, kpe_l, qpe_l, cfg.num_heads,
+                skip_pe=(i == 0),
+            )
+        else:
+            queries, keys = _two_way_block(
+                lp, queries, keys, query_pe, key_pe, cfg.num_heads,
+                skip_first_layer_pe=(i == 0), fused=fused,
+            )
 
     fa = p["final_attn_t2i"]
     q = queries + query_pe

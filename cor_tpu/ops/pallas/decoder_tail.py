@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from cor_tpu.ops.pallas.upscale import _gelu_exact, _interpret
+from cor_tpu.ops.pallas.upscale import _gelu_exact, _gelu_fast, _interpret
 
 
 def _kernel(x_ref, w1_ref, b1_ref, m_ref, g1_ref, g2_ref, w2_ref, b2_ref, h_ref, o_ref, *, eps):
@@ -50,17 +50,23 @@ def _kernel(x_ref, w1_ref, b1_ref, m_ref, g1_ref, g2_ref, w2_ref, b2_ref, h_ref,
     y = jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32)
     y = y + b1_ref[:].astype(jnp.float32)
 
-    # grouped LayerNorm over each 64-channel position group, as GEMMs
-    mean = jnp.dot(y, m_ref[:].astype(jnp.float32), preferred_element_type=jnp.float32)
+    # grouped LayerNorm over each 64-channel position group, as GEMMs. The
+    # stat GEMMs run in the INPUT dtype (bf16 on the production decode path —
+    # fp32-operand matmuls run at ~1/4 the MXU bf16 rate; accumulation stays
+    # fp32 via preferred_element_type): ~0.4% stat rounding, inference-only.
+    mean = jnp.dot(y.astype(x.dtype), m_ref[:], preferred_element_type=jnp.float32)
     z = y - mean
-    var = jnp.dot(z * z, m_ref[:].astype(jnp.float32), preferred_element_type=jnp.float32)
+    var = jnp.dot((z * z).astype(x.dtype), m_ref[:], preferred_element_type=jnp.float32)
     y = z * jax.lax.rsqrt(var + eps)
     y = y * g1_ref[:].astype(jnp.float32) + g2_ref[:].astype(jnp.float32)
-    y = _gelu_exact(y)
+    # bf16 production path: polynomial GELU (the erf's exp+divide dominate
+    # this kernel's VPU time); fp32 oracle paths keep the exact erf
+    gelu = _gelu_fast if x.dtype == jnp.bfloat16 else _gelu_exact
+    y = gelu(y)
 
     y = jnp.dot(y.astype(x.dtype), w2_ref[:], preferred_element_type=jnp.float32)
     y = y + b2_ref[:].astype(jnp.float32)
-    y = _gelu_exact(y)
+    y = gelu(y)
 
     # emit TRANSPOSED [16N, T]: the row-tile lands on the 128-lane axis of the
     # output store (a [T, 16N] store would use only 16N of 128 lanes)
@@ -115,7 +121,7 @@ def fused_decoder_tail(
 
     n_rows = H * W
     x2 = src.reshape(B, n_rows, C)
-    tile = 512
+    tile = 2048
     while tile > 8 and n_rows % tile != 0:
         tile //= 2
 

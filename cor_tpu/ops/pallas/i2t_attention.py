@@ -82,7 +82,7 @@ def i2t_attention_fused(
         num_heads * T, num_heads * T
     ).astype(dt)
 
-    tile = 1024
+    tile = 2048
     while tile > 8 and N % tile != 0:
         tile //= 2
 

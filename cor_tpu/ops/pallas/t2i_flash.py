@@ -130,7 +130,7 @@ def _extract_heads(attn: jax.Array, num_heads: int, T: int) -> jax.Array:
 
 
 def _tile(n: int) -> int:
-    tile = 1024
+    tile = 2048
     while tile > 8 and n % tile != 0:
         tile //= 2
     return tile

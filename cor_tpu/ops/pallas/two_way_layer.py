@@ -1,0 +1,319 @@
+"""Pallas TPU kernel: one ENTIRE two-way transformer layer per grid step.
+
+Reference dataflow (lib/sam_model/transformer.py:151-182, one
+TwoWayAttentionBlock): token self-attention -> token->image cross-attention
+-> token MLP -> image->token cross-attention, each + residual + LayerNorm.
+
+The decode hot path runs this over [B, 4096, 256] image activations per
+retrieved candidate. The round-1 kernels (t2i_flash, i2t_attention) fused the
+two cross-attentions separately, but `keys` still made ~4 HBM round trips per
+layer and q_img one more. Here the whole layer is ONE kernel with grid (B,):
+each step loads its candidate's keys into VMEM once, runs every stage of the
+layer — including all token-side ops — and writes keys back once. HBM traffic
+per layer drops from ~10 MB to ~4 MB per candidate.
+
+Token-side per-head attention without reshapes/transposes (Mosaic rejects
+lane-crossing reshapes): the (head, token) pairs are unrolled onto the
+SUBLANE axis with constant selector/mask GEMMs —
+
+  qblk = (SEL @ q) * mask      SEL[h*T+t, t'] = 1{t==t'}   ([HT, T] const)
+  l    = dot(qblk, k, contract lanes)   -> [HT, T'] per-head logits
+  out  = SELT @ (attn_out * mask)       SELT = SEL^T collapses heads
+
+since per-head lane supports are disjoint, masking one operand of each
+contraction yields exact per-head results, and the head collapse is a sum.
+The image side streams in 1024-row tiles with flash accumulation for the
+token->image softmax (the full 4096-wide row never materializes).
+
+Forward-only (inference / retrieval); the training path keeps the
+differentiable XLA composition. Numerics match the XLA `_two_way_block` to
+bf16 rounding (tested in interpret mode and vs the composed decoder).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cor_tpu.ops.pallas.upscale import _interpret
+
+# fixed geometry for the SAM decoder (transformer_dim 256, heads 8,
+# downsample_rate 2): token pad 8, image rows tiled by 1024
+_T = 8  # padded token count (6 real: iou + 4 mask + 1 prompt)
+_TILE = 1024
+
+
+def _ln_rows(z: jax.Array, scale, bias, eps: float) -> jax.Array:
+    """Lane-wise LayerNorm over the channel axis (fp32 in/out)."""
+    mean = jnp.mean(z, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(z - mean), axis=-1, keepdims=True)
+    y = (z - mean) * jax.lax.rsqrt(var + eps)
+    return y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+
+
+def _dot(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _dot_t(a, b):
+    """Contract the LANE axis of both operands: [M, C] x [N, C] -> [M, N]."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _kernel(
+    # per-candidate blocks
+    tokens_ref,  # [1, T, C] current token state
+    qpe_tok_ref,  # [1, T, C] token positional prompts (the initial tokens)
+    keys_ref,  # [1, N, C] image activations
+    # shared image-side constants (same block every step -> fetched once)
+    kpe_ref,  # [N, I] t2i.k_proj(key_pe), no bias
+    qpe_img_ref,  # [N, I] i2t.q_proj(key_pe), no bias
+    w_img_ref,  # [C, 3I] packed (t2i.k | t2i.v | i2t.q) image projections
+    b_img_ref,  # [1, 3I]
+    # token self-attention (full dim C, head_dim 32)
+    wq_s_ref, bq_s_ref, wk_s_ref, bk_s_ref, wv_s_ref, bv_s_ref, wo_s_ref, bo_s_ref,
+    # layer norms
+    ln1_s_ref, ln1_b_ref, ln2_s_ref, ln2_b_ref, ln3_s_ref, ln3_b_ref, ln4_s_ref, ln4_b_ref,
+    # t2i token query + output projection
+    wq_t_ref, bq_t_ref, wo_t_ref, bo_t_ref,
+    # token MLP
+    w1_ref, b1_ref, w2_ref, b2_ref,
+    # i2t token key/value + output projection
+    wk_i_ref, bk_i_ref, wv_i_ref, bv_i_ref, wo_i_ref, bo_i_ref,
+    # constants
+    sel_ref,  # [HT, T] head-unroll selector
+    selt_ref,  # [T, HT] head collapse
+    mask_c_ref,  # [HT, C] per-head lane mask, head_dim C/H
+    mask_i_ref,  # [HT, I] per-head lane mask, head_dim I/H
+    pb_tok_ref,  # [1, T] -1e30 at padded token columns
+    pb_ht_ref,  # [1, HT] -1e30 at (h, padded token) columns
+    g_ref,  # [HT, HT] block-diag ones (per-head softmax normalizer)
+    # outputs
+    keys_out_ref,  # [1, N, C]
+    tokens_out_ref,  # [1, T, C]
+    *,
+    skip_pe: bool,
+    eps: float,
+    self_scale: float,
+    cross_scale: float,
+):
+    dt = keys_ref.dtype
+    x_tok = tokens_ref[0].astype(jnp.float32)  # [T, C]
+    qpe_t = qpe_tok_ref[0].astype(jnp.float32)
+    sel = sel_ref[:]
+    selt = selt_ref[:]
+    mask_c = mask_c_ref[:]
+    mask_i = mask_i_ref[:]
+    g = g_ref[:]
+
+    # ------------------------------------------------------------------
+    # 1) token self-attention (+ residual unless skip_pe) + LN1
+    # ------------------------------------------------------------------
+    qin = x_tok if skip_pe else x_tok + qpe_t
+    q_s = (_dot(qin.astype(dt), wq_s_ref[:]) + bq_s_ref[:]) * self_scale
+    k_s = _dot(qin.astype(dt), wk_s_ref[:]) + bk_s_ref[:]
+    v_s = _dot(x_tok.astype(dt), wv_s_ref[:]) + bv_s_ref[:]
+    qblk = (_dot(sel, q_s.astype(dt)) * mask_c).astype(dt)  # [HT, C]
+    l_s = _dot_t(qblk, k_s.astype(dt)) + pb_tok_ref[:]  # [HT, T]
+    e_s = jnp.exp(l_s - jnp.max(l_s, axis=-1, keepdims=True))
+    a_s = (e_s / jnp.sum(e_s, axis=-1, keepdims=True)).astype(dt)
+    av_s = _dot(a_s, v_s.astype(dt))  # [HT, C] full-lane per (h, t) rows
+    sa = _dot(selt, (av_s * mask_c).astype(dt))  # [T, C] head collapse
+    sa = _dot(sa.astype(dt), wo_s_ref[:]) + bo_s_ref[:]
+    x_tok = sa if skip_pe else x_tok + sa
+    x_tok = _ln_rows(x_tok, ln1_s_ref[:], ln1_b_ref[:], eps)
+
+    # ------------------------------------------------------------------
+    # 2) token -> image cross-attention over row tiles (flash accumulation)
+    # ------------------------------------------------------------------
+    q_t = (_dot((x_tok + qpe_t).astype(dt), wq_t_ref[:]) + bq_t_ref[:]) * cross_scale
+    qblk_t = (_dot(sel, q_t.astype(dt)) * mask_i).astype(dt)  # [HT, I]
+
+    n_rows = keys_ref.shape[1]
+    n_tiles = n_rows // _TILE
+    m_acc = jnp.full((qblk_t.shape[0], 1), -1e30, jnp.float32)
+    d_acc = jnp.zeros((qblk_t.shape[0], 1), jnp.float32)
+    av_acc = jnp.zeros((qblk_t.shape[0], mask_i.shape[1]), jnp.float32)
+    q_img_tiles = []
+    kv_w = w_img_ref[:]
+    kv_b = b_img_ref[:]
+    I = mask_i.shape[1]
+    for i in range(n_tiles):
+        rows = keys_ref[0, pl.ds(i * _TILE, _TILE), :]  # [TILE, C] bf16
+        imgp = _dot(rows, kv_w) + kv_b  # [TILE, 3I] fp32
+        k_t = (imgp[:, :I] + kpe_ref[pl.ds(i * _TILE, _TILE), :]).astype(dt)
+        v_t = imgp[:, I : 2 * I].astype(dt)
+        q_img_tiles.append(
+            (imgp[:, 2 * I :] + qpe_img_ref[pl.ds(i * _TILE, _TILE), :]).astype(dt)
+        )
+        l_t = _dot_t(qblk_t, k_t)  # [HT, TILE]
+        m_new = jnp.maximum(m_acc, jnp.max(l_t, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_acc - m_new)
+        e_t = jnp.exp(l_t - m_new)
+        av_acc = av_acc * alpha + _dot(e_t.astype(dt), v_t)
+        d_acc = d_acc * alpha + jnp.sum(e_t, axis=-1, keepdims=True)
+        m_acc = m_new
+    t2i_blk = av_acc / d_acc  # [HT, I]
+    t2i_out = _dot(selt, (t2i_blk * mask_i).astype(dt))  # [T, I]
+    x_tok = x_tok + _dot(t2i_out.astype(dt), wo_t_ref[:]) + bo_t_ref[:]
+    x_tok = _ln_rows(x_tok, ln2_s_ref[:], ln2_b_ref[:], eps)
+
+    # ------------------------------------------------------------------
+    # 3) token MLP (ReLU) + LN3
+    # ------------------------------------------------------------------
+    h = jnp.maximum(_dot(x_tok.astype(dt), w1_ref[:]) + b1_ref[:], 0.0)
+    x_tok = x_tok + _dot(h.astype(dt), w2_ref[:]) + b2_ref[:]
+    x_tok = _ln_rows(x_tok, ln3_s_ref[:], ln3_b_ref[:], eps)
+    tokens_out_ref[0] = x_tok.astype(tokens_out_ref.dtype)
+
+    # ------------------------------------------------------------------
+    # 4) image -> token cross-attention + LN4, tile-local
+    # ------------------------------------------------------------------
+    k_i = _dot((x_tok + qpe_t).astype(dt), wk_i_ref[:]) + bk_i_ref[:]
+    v_i = _dot(x_tok.astype(dt), wv_i_ref[:]) + bv_i_ref[:]
+    kblk = ((_dot(sel, k_i.astype(dt)) * mask_i)).astype(dt)  # [HT, I]
+    vblk = ((_dot(sel, v_i.astype(dt)) * mask_i)).astype(dt)  # [HT, I]
+    wo_i = wo_i_ref[:]
+    bo_i = bo_i_ref[:]
+    for i in range(n_tiles):
+        q_img = q_img_tiles[i]  # [TILE, I] bf16 (pre-scaled? scale applied below)
+        l2 = _dot_t((q_img.astype(jnp.float32) * cross_scale).astype(dt), kblk)
+        l2 = l2 + pb_ht_ref[:]  # [TILE, HT]
+        e2 = jnp.exp(l2 - jnp.max(l2, axis=-1, keepdims=True))
+        d2 = _dot(e2.astype(dt), g.astype(dt))  # per-head normalizer
+        a2 = (e2 / d2).astype(dt)
+        av2 = _dot(a2, vblk)  # [TILE, I] disjoint per-head lanes
+        o2 = _dot(av2.astype(dt), wo_i) + bo_i  # [TILE, C]
+        rows = keys_ref[0, pl.ds(i * _TILE, _TILE), :].astype(jnp.float32)
+        z = _ln_rows(rows + o2, ln4_s_ref[:], ln4_b_ref[:], eps)
+        keys_out_ref[0, pl.ds(i * _TILE, _TILE), :] = z.astype(keys_out_ref.dtype)
+
+
+def _constants(num_heads: int, c_dim: int, i_dim: int, n_real_tokens: int, dt):
+    """Selector / mask / normalizer constants for the head-unrolled layout."""
+    H, T = num_heads, _T
+    HT = H * T
+    sel = np.zeros((HT, T), np.float32)
+    for h in range(H):
+        sel[h * T : (h + 1) * T] = np.eye(T, dtype=np.float32)
+    selt = sel.T.copy()
+    def lane_mask(dim):
+        hd = dim // H
+        m = np.zeros((HT, dim), np.float32)
+        for h in range(H):
+            m[h * T : (h + 1) * T, h * hd : (h + 1) * hd] = 1.0
+        return m
+    pb_tok = np.zeros((1, T), np.float32)
+    pb_tok[0, n_real_tokens:] = -1e30
+    pb_ht = np.zeros((1, HT), np.float32)
+    for h in range(H):
+        pb_ht[0, h * T + n_real_tokens : (h + 1) * T] = -1e30
+    g = np.kron(np.eye(H, dtype=np.float32), np.ones((T, T), np.float32))
+    to = lambda x: jnp.asarray(x, dt)
+    return (
+        to(sel), to(selt), to(lane_mask(c_dim)), to(lane_mask(i_dim)),
+        jnp.asarray(pb_tok, jnp.float32), jnp.asarray(pb_ht, jnp.float32),
+        to(g),
+    )
+
+
+def _bias2d(b, dt=None):
+    b = b.reshape(1, -1)
+    return b if dt is None else b.astype(dt)
+
+
+def two_way_layer_fused(
+    lp,  # layer params (sam_decoder._init_two_way_block naming)
+    tokens: jax.Array,  # [B, n_tok, C] (n_tok <= 8)
+    qpe_tok: jax.Array,  # [B, n_tok, C]
+    keys: jax.Array,  # [B, N, C]
+    kpe: jax.Array,  # [N, I] precomputed t2i.k_proj(key_pe)
+    qpe_img: jax.Array,  # [N, I] precomputed i2t.q_proj(key_pe)
+    num_heads: int,
+    skip_pe: bool,
+    eps: float = 1e-5,
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (tokens', keys') — one fused TwoWayAttentionBlock."""
+    B, n_tok, C = tokens.shape
+    N = keys.shape[1]
+    dt = keys.dtype
+    I = lp["cross_attn_t2i"]["q_proj"]["w"].shape[-1]
+    assert N % _TILE == 0 and n_tok <= _T
+
+    pad = _T - n_tok
+    if pad:
+        tokens = jnp.pad(tokens, ((0, 0), (0, pad), (0, 0)))
+        qpe_tok = jnp.pad(qpe_tok, ((0, 0), (0, pad), (0, 0)))
+
+    t2i, i2t, sa = lp["cross_attn_t2i"], lp["cross_attn_i2t"], lp["self_attn"]
+    w_img = jnp.concatenate(
+        [t2i["k_proj"]["w"], t2i["v_proj"]["w"], i2t["q_proj"]["w"]], axis=1
+    ).astype(dt)
+    b_img = jnp.concatenate(
+        [t2i["k_proj"]["b"], t2i["v_proj"]["b"], i2t["q_proj"]["b"]]
+    ).reshape(1, -1).astype(jnp.float32)
+
+    consts = _constants(num_heads, C, I, n_tok, dt)
+    self_scale = 1.0 / float(np.sqrt(C // num_heads))
+    cross_scale = 1.0 / float(np.sqrt(I // num_heads))
+
+    cdim = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    per_b3 = lambda *shape: pl.BlockSpec(shape, lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    mlp = lp["mlp"]
+    args = [
+        tokens, qpe_tok, keys,
+        kpe.astype(dt), qpe_img.astype(dt), w_img, b_img,
+        sa["q_proj"]["w"].astype(dt), _bias2d(sa["q_proj"]["b"], jnp.float32),
+        sa["k_proj"]["w"].astype(dt), _bias2d(sa["k_proj"]["b"], jnp.float32),
+        sa["v_proj"]["w"].astype(dt), _bias2d(sa["v_proj"]["b"], jnp.float32),
+        sa["out_proj"]["w"].astype(dt), _bias2d(sa["out_proj"]["b"], jnp.float32),
+        _bias2d(lp["norm1"]["scale"]), _bias2d(lp["norm1"]["bias"]),
+        _bias2d(lp["norm2"]["scale"]), _bias2d(lp["norm2"]["bias"]),
+        _bias2d(lp["norm3"]["scale"]), _bias2d(lp["norm3"]["bias"]),
+        _bias2d(lp["norm4"]["scale"]), _bias2d(lp["norm4"]["bias"]),
+        t2i["q_proj"]["w"].astype(dt), _bias2d(t2i["q_proj"]["b"], jnp.float32),
+        t2i["out_proj"]["w"].astype(dt), _bias2d(t2i["out_proj"]["b"], jnp.float32),
+        mlp["lin1"]["w"].astype(dt), _bias2d(mlp["lin1"]["b"], jnp.float32),
+        mlp["lin2"]["w"].astype(dt), _bias2d(mlp["lin2"]["b"], jnp.float32),
+        i2t["k_proj"]["w"].astype(dt), _bias2d(i2t["k_proj"]["b"], jnp.float32),
+        i2t["v_proj"]["w"].astype(dt), _bias2d(i2t["v_proj"]["b"], jnp.float32),
+        i2t["out_proj"]["w"].astype(dt), _bias2d(i2t["out_proj"]["b"], jnp.float32),
+        *consts,
+    ]
+    in_specs = []
+    for a in args[:3]:
+        in_specs.append(per_b3(1, a.shape[1], a.shape[2]))
+    for a in args[3:]:
+        in_specs.append(cdim(*a.shape))
+
+    keys_out, tokens_out = pl.pallas_call(
+        functools.partial(
+            _kernel,
+            skip_pe=skip_pe,
+            eps=eps,
+            self_scale=self_scale,
+            cross_scale=cross_scale,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, C), dt),
+            jax.ShapeDtypeStruct((B, _T, C), dt),
+        ),
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=(per_b3(1, N, C), per_b3(1, _T, C)),
+        interpret=_interpret(),
+    )(*args)
+
+    # scale q AFTER t2i bias (the reference scales q post-projection): note the
+    # kernel applies cross_scale to (proj + bias) jointly — identical math.
+    return tokens_out[:, :n_tok, :], keys_out

@@ -61,9 +61,13 @@ def top_k_retrieve(queries: jax.Array, gallery: jax.Array, k: int):
 # ---------------------------------------------------------------------------
 
 
-def make_sharded_retrieve(mesh: Mesh, k: int):
+def make_sharded_retrieve(mesh: Mesh, k: int, approx: bool = False, recall_target: float = 0.99):
     """Build a jitted sharded scan: gallery rows sharded over the data axis,
     local top-k per shard, ICI all-gather of candidates, global merge.
+
+    ``approx=True`` uses the TPU-native `lax.approx_max_k` for the local
+    selection (measured 19x faster than the sort-based exact `top_k` on a
+    127K-row shard; per-query recall stays measurable via recall_at_k).
 
     Returns retrieve(queries [Q, D] replicated, gallery [G, D] sharded,
     base_indices [G] sharded) -> (scores [Q, k], global indices [Q, k]).
@@ -77,7 +81,12 @@ def make_sharded_retrieve(mesh: Mesh, k: int):
         # candidates from this shard's k
         s = jnp.where(index_shard[None, :] < 0, -jnp.inf, s)
         k_local = min(k, gallery_shard.shape[0])
-        scores, local_idx = jax.lax.top_k(s, k_local)  # [Q, k_local]
+        if approx:
+            scores, local_idx = jax.lax.approx_max_k(
+                s, k_local, recall_target=recall_target
+            )
+        else:
+            scores, local_idx = jax.lax.top_k(s, k_local)  # [Q, k_local]
         global_idx = index_shard[local_idx]  # [Q, k_local]
         # gather candidates from every shard over ICI
         all_scores = jax.lax.all_gather(scores, DATA_AXIS, axis=1)  # [Q, n, k_local]
@@ -131,10 +140,10 @@ class ShardedGallery:
 class RetrievalEngine:
     """High-level API: add a gallery once, retrieve top-k for query batches."""
 
-    def __init__(self, mesh: Mesh, k: int = 10):
+    def __init__(self, mesh: Mesh, k: int = 10, approx: bool = False, recall_target: float = 0.99):
         self.mesh = mesh
         self.k = k
-        self._retrieve = make_sharded_retrieve(mesh, k)
+        self._retrieve = make_sharded_retrieve(mesh, k, approx, recall_target)
         self.gallery: Optional[ShardedGallery] = None
 
     def set_gallery(self, embeddings: np.ndarray):

@@ -143,3 +143,21 @@ def test_retrieval_protocol_end_to_end(key):
     scores, _ = engine.retrieve(jnp.asarray(gallery))
     self_scores = np.einsum("gd,gd->g", gallery, gallery)
     assert (np.asarray(scores)[:, 0] >= self_scores - 1e-5).all()
+
+
+def test_sharded_retrieve_approx_mode(rng):
+    """approx=True (lax.approx_max_k local selection) keeps high overlap with
+    the exact engine; on CPU the approx op lowers to exact, on TPU recall is
+    bounded by recall_target."""
+    mesh = make_mesh()
+    gallery = _normed(rng, 512, 64)
+    queries = _normed(rng, 8, 64)
+    exact = RetrievalEngine(mesh, k=10)
+    exact.set_gallery(gallery)
+    approx = RetrievalEngine(mesh, k=10, approx=True)
+    approx.set_gallery(gallery)
+    _, ei = exact.retrieve(jnp.asarray(queries))
+    _, ai = approx.retrieve(jnp.asarray(queries))
+    ei, ai = np.asarray(ei), np.asarray(ai)
+    overlap = np.mean([len(set(ei[i]) & set(ai[i])) / 10 for i in range(8)])
+    assert overlap >= 0.9

@@ -1,0 +1,60 @@
+"""two_way_layer_fused kernel vs the XLA _two_way_block (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cor_tpu.models.sam_decoder import (
+    TwoWayTransformerConfig,
+    _matmul_nobias,
+    _two_way_block,
+    init_two_way_transformer,
+    two_way_transformer,
+)
+import cor_tpu.ops.pallas.two_way_layer as twl
+
+
+@pytest.fixture(scope="module")
+def full_size_layer():
+    cfg = TwoWayTransformerConfig(depth=2, embedding_dim=256, num_heads=8, mlp_dim=2048)
+    return cfg, init_two_way_transformer(jax.random.PRNGKey(0), cfg)
+
+
+@pytest.mark.parametrize("skip_pe", [True, False])
+def test_two_way_layer_fused_matches_block(full_size_layer, rng, skip_pe):
+    cfg, p = full_size_layer
+    lp = p["layers"][0]
+    B, N, C = 1, twl._TILE * 2, 256
+
+    keys = jnp.asarray(rng.standard_normal((B, N, C)).astype(np.float32) * 0.5)
+    tokens = jnp.asarray(rng.standard_normal((B, 6, C)).astype(np.float32) * 0.5)
+    key_pe = jnp.asarray(rng.standard_normal((1, N, C)).astype(np.float32) * 0.5)
+    kpe = _matmul_nobias(lp["cross_attn_t2i"]["k_proj"], key_pe)[0]
+    qpe_img = _matmul_nobias(lp["cross_attn_i2t"]["q_proj"], key_pe)[0]
+
+    q_ref, k_ref = _two_way_block(
+        lp, tokens, keys, tokens, key_pe, cfg.num_heads,
+        skip_first_layer_pe=skip_pe, fused=False,
+    )
+    q_f, k_f = twl.two_way_layer_fused(
+        lp, tokens, tokens, keys, kpe, qpe_img, cfg.num_heads, skip_pe=skip_pe
+    )
+    np.testing.assert_allclose(np.asarray(q_f), np.asarray(q_ref), atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(k_f), np.asarray(k_ref), atol=2e-4, rtol=2e-4)
+
+
+def test_two_way_transformer_layer_fused_path(full_size_layer, rng):
+    """The full transformer with fused=True (layer-fused path engaged at this
+    geometry) matches the unfused XLA composition."""
+    cfg, p = full_size_layer
+    B, g, C = 1, 32, 256  # 32*32 = 1024 rows = one row tile
+
+    img = jnp.asarray(rng.standard_normal((B, g, g, C)).astype(np.float32) * 0.3)
+    pe = jnp.asarray(rng.standard_normal((1, g, g, C)).astype(np.float32) * 0.3)
+    tokens = jnp.asarray(rng.standard_normal((B, 6, C)).astype(np.float32) * 0.5)
+
+    hs_ref, src_ref = two_way_transformer(p, img, pe, tokens, cfg, fused=False)
+    hs_f, src_f = two_way_transformer(p, img, pe, tokens, cfg, fused=True)
+    np.testing.assert_allclose(np.asarray(hs_f), np.asarray(hs_ref), atol=5e-4, rtol=5e-4)
+    np.testing.assert_allclose(np.asarray(src_f), np.asarray(src_ref), atol=5e-4, rtol=5e-4)
