@@ -99,7 +99,17 @@ def main() -> None:
 
         def decode_chunk(args):
             idx_c, prompts_c = args
-            cand = cand_store[idx_c]  # [CHUNK, 64, 64, 256]
+            # one-hot MXU gather: XLA lowers an indexed gather of [CHUNK]
+            # rows to a per-index dynamic-slice while-loop with channel
+            # splits (~20 ms/iteration traced); a [CHUNK, STORE] x
+            # [STORE, rows] GEMM does the same data movement in ~0.5 ms
+            oh = jax.nn.one_hot(idx_c, STORE, dtype=cand_store.dtype)
+            cand = jax.lax.dot_general(
+                oh,
+                cand_store.reshape(STORE, -1),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=cand_store.dtype,
+            ).reshape(CHUNK, 64, 64, 256)
             masks, iou, _ = mask_decoder(
                 p["mask_decoder"],
                 cand.astype(cfg.dtype),
