@@ -1,0 +1,166 @@
+// cor_tpu native data-plane: Pillow-parity bilinear resample + normalize.
+//
+// The reference's data path leans on torch DataLoader workers and PIL's C
+// resample loops (reference: utils/dataloader.py:94-125, 220-241). cor_tpu's
+// loader threads call into this translation unit instead: one C call per
+// sample does resize (bit-exact Pillow BILINEAR reproduction, fixed-point
+// 8bpc pipeline) and the /255 + ImageNet mean/std normalize, releasing the
+// GIL for real thread scaling.
+//
+// Algorithm parity notes (Pillow src/libImaging/Resample.c semantics):
+// - separable two-pass resample, HORIZONTAL first, with the intermediate
+//   quantized to uint8 (this quantization is part of PIL's observable
+//   output, so it is reproduced, not "improved");
+// - triangle filter, support 1.0, widened by the scale factor on downscale;
+// - per-window coefficients computed in double, normalized, then converted
+//   to int fixed point with PRECISION_BITS = 32 - 8 - 2 and round-half-away;
+// - accumulation starts at 1 << (PRECISION_BITS - 1) and clips via shift.
+//
+// Build: g++ -O3 -shared -fPIC (cor_tpu/native/build.py). C ABI only.
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int PRECISION_BITS = 32 - 8 - 2;
+
+inline uint8_t clip8(int64_t in) {
+    if (in >= (1LL << PRECISION_BITS << 8)) return 255;
+    if (in <= 0) return 0;
+    return static_cast<uint8_t>(in >> PRECISION_BITS);
+}
+
+inline double triangle_filter(double x) {
+    if (x < 0.0) x = -x;
+    return x < 1.0 ? 1.0 - x : 0.0;
+}
+
+// Pillow precompute_coeffs + normalize_coeffs_8bpc for one axis.
+struct Coeffs {
+    int ksize = 0;
+    std::vector<int> bounds;  // [out, 2] = (xmin, xmax-count)
+    std::vector<int> kk;      // [out, ksize] fixed-point
+};
+
+Coeffs precompute(int in_size, int out_size) {
+    Coeffs c;
+    double scale = static_cast<double>(in_size) / out_size;
+    double filterscale = scale < 1.0 ? 1.0 : scale;
+    double support = 1.0 * filterscale;  // triangle support = 1.0
+    c.ksize = static_cast<int>(std::ceil(support)) * 2 + 1;
+    c.bounds.resize(out_size * 2);
+    c.kk.resize(static_cast<size_t>(out_size) * c.ksize);
+    std::vector<double> k(c.ksize);
+    double ss = 1.0 / filterscale;
+    for (int xx = 0; xx < out_size; ++xx) {
+        double center = (xx + 0.5) * scale;
+        int xmin = static_cast<int>(center - support + 0.5);
+        if (xmin < 0) xmin = 0;
+        int xmax = static_cast<int>(center + support + 0.5);
+        if (xmax > in_size) xmax = in_size;
+        xmax -= xmin;
+        double ww = 0.0;
+        for (int x = 0; x < xmax; ++x) {
+            double w = triangle_filter((x + xmin - center + 0.5) * ss);
+            k[x] = w;
+            ww += w;
+        }
+        for (int x = 0; x < xmax; ++x)
+            if (ww != 0.0) k[x] /= ww;
+        for (int x = 0; x < xmax; ++x) {
+            double v = k[x] * (1 << PRECISION_BITS);
+            c.kk[static_cast<size_t>(xx) * c.ksize + x] =
+                static_cast<int>(v < 0 ? v - 0.5 : v + 0.5);
+        }
+        for (int x = xmax; x < c.ksize; ++x)
+            c.kk[static_cast<size_t>(xx) * c.ksize + x] = 0;
+        c.bounds[xx * 2 + 0] = xmin;
+        c.bounds[xx * 2 + 1] = xmax;
+    }
+    return c;
+}
+
+// horizontal pass: [h, w, ch] u8 -> [h, ow, ch] u8
+void resample_h(const uint8_t* src, int h, int w, int ch, uint8_t* dst, int ow,
+                const Coeffs& c) {
+    for (int yy = 0; yy < h; ++yy) {
+        const uint8_t* row = src + static_cast<size_t>(yy) * w * ch;
+        uint8_t* orow = dst + static_cast<size_t>(yy) * ow * ch;
+        for (int xx = 0; xx < ow; ++xx) {
+            int xmin = c.bounds[xx * 2], xmax = c.bounds[xx * 2 + 1];
+            const int* k = &c.kk[static_cast<size_t>(xx) * c.ksize];
+            for (int b = 0; b < ch; ++b) {
+                int64_t ss0 = 1LL << (PRECISION_BITS - 1);
+                for (int x = 0; x < xmax; ++x)
+                    ss0 += static_cast<int64_t>(row[(xmin + x) * ch + b]) * k[x];
+                orow[xx * ch + b] = clip8(ss0);
+            }
+        }
+    }
+}
+
+// vertical pass: [h, w, ch] u8 -> [oh, w, ch] u8
+void resample_v(const uint8_t* src, int h, int w, int ch, uint8_t* dst, int oh,
+                const Coeffs& c) {
+    for (int yy = 0; yy < oh; ++yy) {
+        int ymin = c.bounds[yy * 2], ymax = c.bounds[yy * 2 + 1];
+        const int* k = &c.kk[static_cast<size_t>(yy) * c.ksize];
+        uint8_t* orow = dst + static_cast<size_t>(yy) * w * ch;
+        for (int xx = 0; xx < w * ch; ++xx) {
+            int64_t ss0 = 1LL << (PRECISION_BITS - 1);
+            for (int y = 0; y < ymax; ++y)
+                ss0 += static_cast<int64_t>(
+                           src[static_cast<size_t>(ymin + y) * w * ch + xx]) *
+                       k[y];
+            orow[xx] = clip8(ss0);
+        }
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Pillow-BILINEAR-parity resize of an interleaved u8 image.
+void cor_resize_bilinear_u8(const uint8_t* src, int h, int w, int ch,
+                            uint8_t* dst, int oh, int ow) {
+    if (h == oh && w == ow) {
+        std::memcpy(dst, src, static_cast<size_t>(h) * w * ch);
+        return;
+    }
+    Coeffs ch_coef = precompute(w, ow);
+    Coeffs cv_coef = precompute(h, oh);
+    if (w != ow && h != oh) {
+        std::vector<uint8_t> tmp(static_cast<size_t>(h) * ow * ch);
+        resample_h(src, h, w, ch, tmp.data(), ow, ch_coef);
+        resample_v(tmp.data(), h, ow, ch, dst, oh, cv_coef);
+    } else if (w != ow) {
+        resample_h(src, h, w, ch, dst, ow, ch_coef);
+    } else {
+        resample_v(src, h, w, ch, dst, oh, cv_coef);
+    }
+}
+
+// resize + (x/255 - mean)/std into float32 HWC (mean/std length = ch; pass
+// zeros/ones for plain [0,1] masks).
+void cor_resize_normalize_f32(const uint8_t* src, int h, int w, int ch,
+                              float* dst, int oh, int ow, const float* mean,
+                              const float* stdv) {
+    std::vector<uint8_t> resized(static_cast<size_t>(oh) * ow * ch);
+    cor_resize_bilinear_u8(src, h, w, ch, resized.data(), oh, ow);
+    const float inv255 = 1.0f / 255.0f;
+    std::vector<float> scale(ch), shift(ch);
+    for (int b = 0; b < ch; ++b) {
+        scale[b] = inv255 / stdv[b];
+        shift[b] = mean[b] / stdv[b];
+    }
+    size_t n = static_cast<size_t>(oh) * ow;
+    for (size_t i = 0; i < n; ++i)
+        for (int b = 0; b < ch; ++b)
+            dst[i * ch + b] = resized[i * ch + b] * scale[b] - shift[b];
+}
+
+}  // extern "C"

@@ -1,0 +1,109 @@
+"""ctypes binding for the native preproc library (see preproc.cpp).
+
+Build-on-first-use: compiles preproc.cpp with the system g++ into a cached
+shared object next to the source (kept out of git). Set COR_TPU_NO_NATIVE=1
+to force the pure-PIL fallback path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_HERE = Path(__file__).parent
+_SRC = _HERE / "preproc.cpp"
+_SO = _HERE / "_preproc.so"
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> Optional[ctypes.CDLL]:
+    if os.environ.get("COR_TPU_NO_NATIVE"):
+        return None
+    try:
+        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-funroll-loops", "-shared", "-fPIC", "-std=c++17",
+                 str(_SRC), "-o", str(_SO)],
+                check=True, capture_output=True, timeout=120,
+            )
+        lib = ctypes.CDLL(str(_SO))
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.cor_resize_bilinear_u8.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            u8p, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.cor_resize_normalize_f32.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            f32p, ctypes.c_int, ctypes.c_int, f32p, f32p,
+        ]
+        return lib
+    except Exception:
+        return None
+
+
+def _get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if not _tried:
+        with _lock:
+            if not _tried:
+                _lib = _build()
+                _tried = True
+    return _lib
+
+
+def native_available() -> bool:
+    return _get_lib() is not None
+
+
+def _as_u8_hwc(img: np.ndarray) -> np.ndarray:
+    img = np.ascontiguousarray(img)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    assert img.dtype == np.uint8 and img.ndim == 3
+    return img
+
+
+def resize_bilinear_u8(img: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    """Pillow-BILINEAR-parity resize of a uint8 HWC (or HW) image."""
+    lib = _get_lib()
+    assert lib is not None, "native preproc unavailable"
+    src = _as_u8_hwc(img)
+    h, w, c = src.shape
+    dst = np.empty((oh, ow, c), np.uint8)
+    lib.cor_resize_bilinear_u8(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, c,
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), oh, ow,
+    )
+    return dst
+
+
+def resize_normalize_f32(
+    img: np.ndarray, oh: int, ow: int,
+    mean: Optional[np.ndarray] = None, std: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """resize + (x/255 - mean)/std -> float32 HWC in one native call."""
+    lib = _get_lib()
+    assert lib is not None, "native preproc unavailable"
+    src = _as_u8_hwc(img)
+    h, w, c = src.shape
+    mean = np.zeros(c, np.float32) if mean is None else np.asarray(mean, np.float32)
+    std = np.ones(c, np.float32) if std is None else np.asarray(std, np.float32)
+    assert mean.shape == (c,) and std.shape == (c,)
+    dst = np.empty((oh, ow, c), np.float32)
+    lib.cor_resize_normalize_f32(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, c,
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), oh, ow,
+        np.ascontiguousarray(mean).ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        np.ascontiguousarray(std).ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return dst

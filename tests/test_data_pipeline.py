@@ -177,3 +177,20 @@ def test_synthetic_dataset_deterministic():
     a, b = ds[2], ds[2]
     np.testing.assert_array_equal(a["query_img"], b["query_img"])
     assert a["query_mask"].sum() > 0
+
+
+def test_loader_multihost_sharding():
+    """shard_id/num_shards: the hosts' index streams are a disjoint cover of
+    the epoch, identical shuffles across hosts (same seed)."""
+    ds = SyntheticDataset(length=21, query_img_size=16, support_img_size=8)
+    seen = []
+    for shard in range(4):
+        loader = DataLoader(ds, batch_size=2, shuffle=True, seed=7,
+                            shard_id=shard, num_shards=4)
+        ids = [int(i) for b in loader for i in b["pair_id"]]
+        assert len(ids) == sum(1 for _ in range(shard, 21, 4))
+        seen.extend(ids)
+    assert sorted(seen) == list(range(21))  # disjoint cover
+    # len() reflects the shard, not the global dataset
+    l0 = DataLoader(ds, batch_size=2, shard_id=0, num_shards=4)
+    assert len(l0) == -(-6 // 2)

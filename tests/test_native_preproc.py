@@ -1,0 +1,69 @@
+"""Native C++ preproc (cor_tpu/native): Pillow bit-exactness + pipeline parity."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from cor_tpu.native import native_available, resize_bilinear_u8, resize_normalize_f32
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native preproc unavailable (no g++?)"
+)
+
+
+@pytest.mark.parametrize(
+    "shape,out_hw",
+    [
+        ((747, 1332, 3), (1024, 1024)),  # COR query-image geometry
+        ((500, 375, 3), (384, 384)),  # support geometry
+        ((1024, 768, 1), (384, 384)),  # mask downscale
+        ((7, 5, 1), (64, 64)),  # extreme upscale
+        ((100, 80, 3), (256, 512)),  # non-square, mixed up/down
+        ((64, 64, 3), (64, 64)),  # identity
+    ],
+)
+def test_resize_bitexact_vs_pillow(rng, shape, out_hw):
+    a = rng.integers(0, 256, shape, np.uint8)
+    mode = "L" if shape[2] == 1 else "RGB"
+    pil = Image.fromarray(a.squeeze(-1) if mode == "L" else a, mode)
+    oh, ow = out_hw
+    ref = np.asarray(pil.resize((ow, oh), Image.BILINEAR))
+    if ref.ndim == 2:
+        ref = ref[:, :, None]
+    got = resize_bilinear_u8(a, oh, ow)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_resize_normalize_matches_pil_numpy_chain(rng):
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    a = rng.integers(0, 256, (300, 220, 3), np.uint8)
+    pil = Image.fromarray(a, "RGB").resize((128, 128), Image.BILINEAR)
+    ref = (np.asarray(pil, np.float32) / 255.0 - mean) / std
+    got = resize_normalize_f32(a, 128, 128, mean, std)
+    np.testing.assert_allclose(got, ref, atol=2e-6)
+
+
+def test_pipeline_to_float_img_native_equals_pil(rng, monkeypatch):
+    """_to_float_img produces identical arrays on both paths."""
+    from cor_tpu.data import pipeline as pp
+
+    img = Image.fromarray(rng.integers(0, 256, (90, 120, 3), np.uint8), "RGB")
+    mask = Image.fromarray(rng.integers(0, 256, (90, 120), np.uint8), "L")
+
+    native_img = pp._to_float_img(img, 64, True)
+    native_mask = pp._to_float_img(mask, 64, False)
+
+    monkeypatch.setenv("COR_TPU_NO_NATIVE", "1")
+    import cor_tpu.native.preproc as npre
+
+    monkeypatch.setattr(npre, "_tried", False)
+    monkeypatch.setattr(npre, "_lib", None)
+    pil_img = pp._to_float_img(img, 64, True)
+    pil_mask = pp._to_float_img(mask, 64, False)
+    # restore lazy state for other tests
+    monkeypatch.setattr(npre, "_tried", False)
+
+    np.testing.assert_allclose(native_img, pil_img, atol=2e-6)
+    np.testing.assert_allclose(native_mask, pil_mask, atol=2e-6)
+    assert native_mask.shape == (64, 64, 1)
