@@ -99,26 +99,20 @@ def main() -> None:
 
         def decode_chunk(args):
             idx_c, prompts_c = args
-            # one-hot MXU gather: XLA lowers an indexed gather of [CHUNK]
-            # rows to a per-index dynamic-slice while-loop with channel
-            # splits (~20 ms/iteration traced); a [CHUNK, STORE] x
-            # [STORE, rows] GEMM does the same data movement in ~0.5 ms
-            oh = jax.nn.one_hot(idx_c, STORE, dtype=cand_store.dtype)
-            cand = jax.lax.dot_general(
-                oh,
-                cand_store.reshape(STORE, -1),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=cand_store.dtype,
-            ).reshape(CHUNK, 64, 64, 256)
+            # store-indexed decode: the first fused two-way layer reads
+            # cand_store[idx_c[b]] directly via scalar-prefetch block
+            # indexing — the batched gather (XLA: slice loop + full
+            # layout-fix copy, ~13 ms/iteration traced) never materializes
             masks, iou, _ = mask_decoder(
                 p["mask_decoder"],
-                cand.astype(cfg.dtype),
+                cand_store.astype(cfg.dtype),
                 image_pe,
                 prompts_c.astype(cfg.dtype),
                 None,  # dense prompt pre-baked into cand_store
                 cfg.decoder,
                 multimask_output=False,
                 fused=True,
+                store_idx=idx_c,
             )
             # per-candidate summary: predicted IoU + mask area (kept small so
             # the full mask tensor never leaves the chunk)

@@ -208,14 +208,18 @@ def _two_way_block(
 
 def two_way_transformer(
     p: Params,
-    image_embedding: jax.Array,  # [B, H, W, C] NHWC
+    image_embedding: jax.Array,  # [B, H, W, C] NHWC (or a STORE [S, H, W, C])
     image_pe: jax.Array,  # [B or 1, H, W, C]
     point_embedding: jax.Array,  # [B, N_tokens, C]
     cfg: TwoWayTransformerConfig,
     fused: bool = False,
+    store_idx: jax.Array = None,  # int32 [B]: image_embedding is a store;
+    # row store_idx[b] feeds batch element b (retrieval decode — the gather
+    # is absorbed into the first fused layer's scalar-prefetch block reads)
 ) -> Tuple[jax.Array, jax.Array]:
-    B, H, W, C = image_embedding.shape
-    keys = image_embedding.reshape(B, H * W, C)
+    S, H, W, C = image_embedding.shape
+    B = point_embedding.shape[0] if store_idx is not None else S
+    keys = image_embedding.reshape(S, H * W, C)
     # key_pe stays batch-1: it only enters through linear projections, which
     # broadcast (see _two_way_block's PE decomposition)
     key_pe = image_pe.reshape(1, H * W, C).astype(keys.dtype)
@@ -244,8 +248,11 @@ def two_way_transformer(
             queries, keys = two_way_layer_fused(
                 lp, queries, query_pe, keys, kpe_l, qpe_l, cfg.num_heads,
                 skip_pe=(i == 0),
+                keys_idx=store_idx if i == 0 else None,
             )
         else:
+            if i == 0 and store_idx is not None:
+                keys = jnp.take(keys, store_idx, axis=0)  # gather fallback
             queries, keys = _two_way_block(
                 lp, queries, keys, query_pe, key_pe, cfg.num_heads,
                 skip_first_layer_pe=(i == 0), fused=fused,
@@ -350,10 +357,19 @@ def mask_decoder(
     cfg: MaskDecoderConfig,
     multimask_output: bool,
     fused: bool = False,
+    store_idx: jax.Array = None,  # int32 [B]: image_embeddings is a STORE
+    # [S, H, W, C] and row store_idx[b] decodes for batch element b (dense
+    # prompt must be pre-baked into the store — pass dense=None)
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (masks [B, n_out, 4H, 4W], iou_pred [B, n_out], src [B, HW, C])."""
-    B, H, W, C = image_embeddings.shape
+    S, H, W, C = image_embeddings.shape
+    B = store_idx.shape[0] if store_idx is not None else S
     nmt = cfg.num_mask_tokens
+    if store_idx is not None:
+        assert dense_prompt_embeddings is None, (
+            "store-indexed decode requires the dense prompt pre-baked into "
+            "the store (dense_prompt_embeddings=None)"
+        )
 
     output_tokens = jnp.concatenate(
         [p["iou_token"], p["mask_tokens"]], axis=0
@@ -370,7 +386,8 @@ def mask_decoder(
         src = image_embeddings + dense_prompt_embeddings
 
     hs, src_seq = two_way_transformer(
-        p["transformer"], src, image_pe, tokens, cfg.transformer, fused=fused
+        p["transformer"], src, image_pe, tokens, cfg.transformer, fused=fused,
+        store_idx=store_idx,
     )
     iou_token_out = hs[:, 0, :]
     mask_tokens_out = hs[:, 1 : 1 + nmt, :]  # [B, nmt, C]

@@ -241,13 +241,22 @@ def two_way_layer_fused(
     num_heads: int,
     skip_pe: bool,
     eps: float = 1e-5,
+    keys_idx: jax.Array = None,  # optional int32 [B]: keys is a STORE [S, N, C]
 ) -> Tuple[jax.Array, jax.Array]:
-    """Returns (tokens', keys') — one fused TwoWayAttentionBlock."""
+    """Returns (tokens', keys') — one fused TwoWayAttentionBlock.
+
+    With ``keys_idx``, ``keys`` is a candidate STORE and grid step i reads
+    row ``keys_idx[i]`` directly via scalar-prefetch block indexing — the
+    batched gather (which XLA lowers to a slice loop + a full layout-fix
+    copy, ~13 ms per 1024 candidates traced) never materializes.
+    """
     B, n_tok, C = tokens.shape
     N = keys.shape[1]
     dt = keys.dtype
     I = lp["cross_attn_t2i"]["q_proj"]["w"].shape[-1]
     assert N % _TILE == 0 and n_tok <= _T
+    if keys_idx is not None:
+        assert keys_idx.shape == (B,) and keys.shape[2] == C
 
     pad = _T - n_tok
     if pad:
@@ -266,8 +275,22 @@ def two_way_layer_fused(
     self_scale = 1.0 / float(np.sqrt(C // num_heads))
     cross_scale = 1.0 / float(np.sqrt(I // num_heads))
 
-    cdim = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
-    per_b3 = lambda *shape: pl.BlockSpec(shape, lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    prefetch = keys_idx is not None
+    if prefetch:
+        # index_maps gain the scalar-prefetch ref as a trailing arg
+        cdim = lambda *shape: pl.BlockSpec(
+            shape, lambda i, s: (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+        per_b3 = lambda *shape: pl.BlockSpec(
+            shape, lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        keys_spec = pl.BlockSpec(
+            (1, N, C), lambda i, s: (s[i], 0, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        cdim = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+        per_b3 = lambda *shape: pl.BlockSpec(shape, lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        keys_spec = None
 
     mlp = lp["mlp"]
     args = [
@@ -291,28 +314,45 @@ def two_way_layer_fused(
         *consts,
     ]
     in_specs = []
-    for a in args[:3]:
+    for a in args[:2]:
         in_specs.append(per_b3(1, a.shape[1], a.shape[2]))
+    in_specs.append(keys_spec if prefetch else per_b3(1, N, C))
     for a in args[3:]:
         in_specs.append(cdim(*a.shape))
 
-    keys_out, tokens_out = pl.pallas_call(
-        functools.partial(
-            _kernel,
-            skip_pe=skip_pe,
-            eps=eps,
-            self_scale=self_scale,
-            cross_scale=cross_scale,
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, N, C), dt),
-            jax.ShapeDtypeStruct((B, _T, C), dt),
-        ),
-        grid=(B,),
-        in_specs=in_specs,
-        out_specs=(per_b3(1, N, C), per_b3(1, _T, C)),
-        interpret=_interpret(),
-    )(*args)
+    kernel = functools.partial(
+        _kernel,
+        skip_pe=skip_pe,
+        eps=eps,
+        self_scale=self_scale,
+        cross_scale=cross_scale,
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((B, N, C), dt),
+        jax.ShapeDtypeStruct((B, _T, C), dt),
+    )
+    out_specs = (per_b3(1, N, C), per_b3(1, _T, C))
+    if prefetch:
+        keys_out, tokens_out = pl.pallas_call(
+            lambda idx_ref, *refs: kernel(*refs),
+            out_shape=out_shape,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(B,),
+                in_specs=in_specs,
+                out_specs=out_specs,
+            ),
+            interpret=_interpret(),
+        )(keys_idx.astype(jnp.int32), *args)
+    else:
+        keys_out, tokens_out = pl.pallas_call(
+            kernel,
+            out_shape=out_shape,
+            grid=(B,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            interpret=_interpret(),
+        )(*args)
 
     # scale q AFTER t2i bias (the reference scales q post-projection): note the
     # kernel applies cross_scale to (proj + bias) jointly — identical math.

@@ -3,6 +3,7 @@ numerically tricky pieces (decomposed rel-pos, window partition,
 transposed-conv upscaling, mask-adapter pooling weights)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 import torch
@@ -238,3 +239,27 @@ def test_core_forward_dropout_active_in_train(key, rng):
     m1, _, _ = core_forward(params, *args, cfg, key=k1, train=True)
     m2, _, _ = core_forward(params, *args, cfg, key=k2, train=True)
     assert not np.allclose(np.asarray(m1), np.asarray(m2))
+
+
+def test_size_tables_match_reference():
+    """Model-size tables pin the reference's exact variants
+    (build_model.py:31-49; support_branch.py:19-26)."""
+    from cor_tpu.models.sam_encoder import SAM_SIZES
+    from cor_tpu.models.siglip import SIGLIP_MODELS, siglip_dim
+
+    assert SAM_SIZES["sam_base"] == dict(
+        embed_dim=768, depth=12, num_heads=12, global_attn_indexes=(2, 5, 8, 11))
+    assert SAM_SIZES["sam_large"] == dict(
+        embed_dim=1024, depth=24, num_heads=16, global_attn_indexes=(5, 11, 17, 23))
+    assert SAM_SIZES["sam_huge"] == dict(
+        embed_dim=1280, depth=32, num_heads=16, global_attn_indexes=(7, 15, 23, 31))
+
+    # siglip_dim selection (reference: support_branch.py:19-26)
+    assert siglip_dim("ViT-SO400M-14-SigLIP-384") == 1152
+    assert siglip_dim("ViT-B-16-SigLIP-384") == 768
+    assert siglip_dim("ViT-L-16-SigLIP-384") == 1024
+    with pytest.raises(ValueError):
+        siglip_dim("not-a-model")
+    # SO400M geometry: stride-14 VALID conv -> 27x27 grid (siglip_openclip.py:93-111)
+    assert SIGLIP_MODELS["ViT-SO400M-14-SigLIP-384"].vision.grid == 27
+    assert SIGLIP_MODELS["ViT-B-16-SigLIP-384"].vision.grid == 24

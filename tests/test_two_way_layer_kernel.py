@@ -58,3 +58,31 @@ def test_two_way_transformer_layer_fused_path(full_size_layer, rng):
     hs_f, src_f = two_way_transformer(p, img, pe, tokens, cfg, fused=True)
     np.testing.assert_allclose(np.asarray(hs_f), np.asarray(hs_ref), atol=5e-4, rtol=5e-4)
     np.testing.assert_allclose(np.asarray(src_f), np.asarray(src_ref), atol=5e-4, rtol=5e-4)
+
+
+def test_store_indexed_decode_matches_gather(full_size_layer, rng):
+    """mask_decoder(store, store_idx=...) == gather-then-decode: the
+    scalar-prefetch block indexing in the first fused layer reads
+    store[idx[b]] directly."""
+    from cor_tpu.models.sam_decoder import MaskDecoderConfig, init_mask_decoder, mask_decoder
+
+    cfg = MaskDecoderConfig(
+        transformer_dim=256,
+        iou_head_hidden_dim=256,
+        transformer=TwoWayTransformerConfig(depth=2, embedding_dim=256, num_heads=8, mlp_dim=2048),
+    )
+    p = init_mask_decoder(jax.random.PRNGKey(1), cfg)
+    g = 32  # 32*32 = 1024 rows = one row tile
+    store = jnp.asarray(rng.standard_normal((3, g, g, 256)).astype(np.float32) * 0.3)
+    pe = jnp.asarray(rng.standard_normal((1, g, g, 256)).astype(np.float32) * 0.3)
+    prompts = jnp.asarray(rng.standard_normal((2, 1, 256)).astype(np.float32) * 0.5)
+    idx = jnp.asarray(np.array([2, 0], np.int32))
+
+    m_ref, iou_ref, _ = mask_decoder(
+        p, store[idx], pe, prompts, None, cfg, multimask_output=False, fused=True
+    )
+    m_idx, iou_idx, _ = mask_decoder(
+        p, store, pe, prompts, None, cfg, multimask_output=False, fused=True, store_idx=idx
+    )
+    np.testing.assert_allclose(np.asarray(m_idx), np.asarray(m_ref), atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(iou_idx), np.asarray(iou_ref), atol=2e-4, rtol=2e-4)
