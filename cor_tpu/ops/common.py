@@ -241,6 +241,14 @@ def mlp_stack(p: Params, x: jax.Array, sigmoid_output: bool = False) -> jax.Arra
 
 
 def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
-    """F.normalize(p=2) parity: x / max(||x||, eps)."""
-    n = jnp.linalg.norm(x.astype(jnp.float32), axis=axis, keepdims=True)
-    return (x.astype(jnp.float32) / jnp.maximum(n, eps)).astype(x.dtype)
+    """F.normalize(p=2) parity: x / max(||x||, eps).
+
+    The norm is computed as sqrt(max(sum(x^2), eps^2)) — identical forward
+    values, but the backward at x == 0 is ZERO like torch's norm subgradient
+    (jnp.linalg.norm's 0/0 there poisons gradients with NaN; a zero vector
+    genuinely occurs when a small GT mask downsamples to an empty grid and
+    the masked pool returns zeros)."""
+    x32 = x.astype(jnp.float32)
+    sq = jnp.sum(x32 * x32, axis=axis, keepdims=True)
+    n = jnp.sqrt(jnp.maximum(sq, eps * eps))
+    return (x32 / n).astype(x.dtype)

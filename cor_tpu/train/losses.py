@@ -101,14 +101,40 @@ def bg_feat_similarity_loss(
     query_mask: jax.Array,
     valid: Optional[jax.Array] = None,
 ) -> jax.Array:
+    """Reproduces the reference's bg loss BIT-FOR-BIT, including its
+    broadcast quirk (reference: loss_func.py:118-126): the reference calls
+    ``F.cosine_similarity(bg_feat [n,1,C], support [n,C], dim=1)``, which
+    broadcasts to [n, n, C] and reduces over the SAMPLE axis — so the
+    per-(i, c) result is
+
+        s[i, c] = bg[i, c] * colsum(sup)[c]
+                  / max(|bg[i, c]| * sqrt(n) * colnorm(sup)[c], 1e-8)
+
+    (NOT the per-sample cosine the docstring describes), then
+    ``(s + 1).mean()`` over [n, C]. Verified against the reference
+    implementation by tests/test_reference_parity.py's gradient-parity
+    harness; the static-shape masked form below is padding-invariant."""
     bg = 1.0 - query_mask.astype(jnp.float32)
     nonempty = (jnp.sum(bg, axis=(1, 2, 3)) > 0).astype(jnp.float32)
     if valid is not None:
         nonempty = nonempty * valid.astype(jnp.float32)
-    bf = mask_pool_normalized(query_embeddings, bg)
-    sf = l2_normalize(support_feat.astype(jnp.float32)[:, 0, :])
-    cos = jnp.sum(bf * sf, axis=-1)
-    return _masked_mean(cos + 1.0, nonempty)
+    m = nonempty  # [B] 1 = participates (reference: embeddings[valid])
+    n = jnp.sum(m)
+
+    bf = mask_pool_normalized(query_embeddings, bg)  # [B, C], row-normalized
+    sup = support_feat.astype(jnp.float32)[:, 0, :]  # [B, C] (raw, as the ref)
+    colsum = jnp.sum(sup * m[:, None], axis=0)  # [C] over valid rows
+    # sqrt-of-clamped so the backward at an all-zero channel is 0 (torch's
+    # norm subgradient); dropout 0.8 on the support features makes whole-zero
+    # channels a real occurrence. Forward-identical: den clamps at 1e-8 anyway.
+    colnorm = jnp.sqrt(jnp.maximum(jnp.sum(jnp.square(sup) * m[:, None], axis=0), 1e-24))
+
+    num = bf * colsum[None, :]
+    den = jnp.maximum(jnp.abs(bf) * jnp.sqrt(jnp.maximum(n, 1.0)) * colnorm[None, :], 1e-8)
+    s = num / den  # [B, C]
+    total = jnp.sum((s + 1.0) * m[:, None])
+    count = n * s.shape[1]
+    return jnp.where(n > 0, total / jnp.maximum(count, 1.0), 0.0)
 
 
 def core_total_loss(

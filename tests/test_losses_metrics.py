@@ -1,6 +1,7 @@
 """Golden tests for losses and metrics against a direct torch transcription of
 the reference math (utils/loss_func.py, utils/trainer_v3_g.py:381-443)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import torch
@@ -84,11 +85,15 @@ def test_bg_loss_matches_torch(rng):
         jnp.asarray(sup),
         jnp.asarray(qm.transpose(0, 2, 3, 1)),
     )
+    # the REFERENCE's exact call shapes (loss_func.py:118-126): bg_feat stays
+    # [n, 1, C], support is squeezed to [n, C], and cosine_similarity(dim=1)
+    # broadcasts to [n, n, C] reducing over the SAMPLE axis — a reference
+    # quirk reproduced bit-for-bit (see bg_feat_similarity_loss docstring)
     et, st, mt = torch.from_numpy(emb), torch.from_numpy(sup), torch.from_numpy(qm)
     bg = 1 - mt
     valid = bg.sum(dim=(1, 2, 3)) > 0
-    bf = torch_mask_pooling(et[valid], bg[valid]).squeeze(1)
-    sim = tF.cosine_similarity(bf, st[valid].squeeze(1), dim=1)
+    bf = torch_mask_pooling(et[valid], bg[valid])  # [n, 1, C]
+    sim = tF.cosine_similarity(bf, st[valid].squeeze(1), dim=1)  # [n, C]
     ref = (sim + 1).mean()
     np.testing.assert_allclose(float(ours), float(ref), atol=1e-5, rtol=1e-4)
 
@@ -141,3 +146,25 @@ def test_mask_pool_normalized_unit_norm(rng):
     m = (rng.random((2, 16, 16, 1)) > 0.5).astype(np.float32)
     out = mask_pool_normalized(jnp.asarray(emb), jnp.asarray(m))
     np.testing.assert_allclose(np.linalg.norm(np.asarray(out), axis=-1), 1.0, atol=1e-5)
+
+
+def test_contrastive_grads_finite_on_degenerate_inputs(rng):
+    """Two real degenerate cases must yield FINITE gradients (torch's norm
+    subgradient at 0 is 0 — jnp.linalg.norm's 0/0 used to poison them):
+    (a) a small GT mask that downsamples to an all-zero grid mask -> the
+    masked pool emits a zero vector into l2_normalize; (b) dropout zeroing a
+    support-feature channel across the whole batch -> bg's column norm is 0."""
+    B, C, H = 4, 16, 4
+    emb = jnp.asarray(rng.standard_normal((B, H, H, C)).astype(np.float32))
+    sup_np = rng.standard_normal((B, 1, C)).astype(np.float32)
+    sup_np[:, :, 3] = 0.0  # channel dead across the batch (dropout pattern)
+    sup = jnp.asarray(sup_np)
+    # full-res GT nonempty, but its 64->4 downsample is exactly zero
+    gt_np = np.zeros((B, 64, 64, 1), np.float32)
+    gt_np[:, 7, 7, 0] = 1.0  # single pixel: bilinear (no antialias) misses it
+    gt = jnp.asarray(gt_np)
+
+    for loss in (fg_feat_similarity_loss, bg_feat_similarity_loss):
+        g_e, g_s = jax.grad(lambda e, s: loss(e, s, gt), argnums=(0, 1))(emb, sup)
+        assert np.isfinite(np.asarray(g_e)).all(), loss.__name__
+        assert np.isfinite(np.asarray(g_s)).all(), loss.__name__

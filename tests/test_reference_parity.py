@@ -294,11 +294,11 @@ class _StubSigLIP(torch.nn.Module):
         return self.image_feat, self.text_feat, None, self.grid
 
 
-@pytest.mark.parametrize("multimask", [False, True])
-def test_composite_core_parity(monkeypatch, multimask):
-    """Full CirSegModelWithQuerySupportFeat vs core_forward, weights converted
-    from the torch state dict; the SigLIP towers are replaced by the same
-    fixed tensors on both sides (reference: sam_with_sup_branch.py:57-104)."""
+def _build_composite(monkeypatch, multimask: bool):
+    """Shared setup: reference CirSegModelWithQuerySupportFeat (SigLIP
+    stubbed) + the converted cor_tpu params/config + monkeypatched
+    siglip_encode emitting the same fixed tensors. Returns
+    (ref, params, cfg, stub_arrays, rng)."""
     import lib.support_branch as ref_sb_mod
     from lib.sam_with_sup_branch import CirSegModelWithQuerySupportFeat
 
@@ -336,6 +336,11 @@ def test_composite_core_parity(monkeypatch, multimask):
         image_encoder=enc, prompt_encoder=pe, support_branch=sb, mask_decoder=dec
     ).eval()
     sd = sd_np(ref)
+    return ref, sd, (B, D, G, image_feat, text_feat, grid_nchw), rng
+
+
+def _composite_cfg_and_params(sd, multimask, D, image_feat, text_feat, grid_nchw, monkeypatch):
+    """The converted cor_tpu mirror of the composite built above."""
 
     # cor_tpu mirror config + converted params (siglip subtree unused: the
     # encode call is monkeypatched to the same fixed tensors)
@@ -400,6 +405,20 @@ def test_composite_core_parity(monkeypatch, multimask):
             jnp.asarray(grid_nchw.transpose(0, 2, 3, 1)),  # NHWC grid
         ),
     )
+    return cfg, params
+
+
+@pytest.mark.parametrize("multimask", [False, True])
+def test_composite_core_parity(monkeypatch, multimask):
+    """Full CirSegModelWithQuerySupportFeat vs core_forward, weights converted
+    from the torch state dict; the SigLIP towers are replaced by the same
+    fixed tensors on both sides (reference: sam_with_sup_branch.py:57-104)."""
+    ref, sd, (B, D, G, image_feat, text_feat, grid_nchw), rng = _build_composite(
+        monkeypatch, multimask
+    )
+    cfg, params = _composite_cfg_and_params(
+        sd, multimask, D, image_feat, text_feat, grid_nchw, monkeypatch
+    )
 
     q = rng.standard_normal((B, 3, 256, 256)).astype(np.float32)
     s_img = rng.standard_normal((B, 3, 32, 32)).astype(np.float32)
@@ -428,3 +447,125 @@ def test_composite_core_parity(monkeypatch, multimask):
     assert max_abs(want_sfeat.numpy(), got_sfeat) < TOL
     assert max_abs(want_qemb.numpy(), np.asarray(got_qemb).transpose(0, 3, 1, 2)) < TOL
     assert max_abs(want_masks.numpy(), got_masks) < 5 * TOL  # deep composite: tol relaxed 5x
+
+
+def test_training_gradient_parity(monkeypatch):
+    """ONE training step's loss AND gradients vs the actual reference code:
+    reference forward (torch) -> trainer_v3_g.py:67-73 loss composite ->
+    autograd, against cor_tpu's core_forward -> core_total_loss ->
+    jax.grad, with the reference's freezing (build_model.py:112-120: image
+    encoder + IoU head + SigLIP). Catches loss wiring, autodiff, and
+    freezing mismatches that forward parity cannot.
+
+    Dropout is off on both sides (ref in eval mode; train=False here) — the
+    reference's dropout draws are framework-specific randomness, not
+    semantics.
+    """
+    import torch.nn.functional as F
+
+    from utils.loss_func import (  # reference /root/reference/utils
+        bg_feat_similarity_loss as ref_bg,
+        fg_feat_similarity_loss as ref_fg,
+        wbce_with_wiou_loss as ref_wbce,
+    )
+    from cor_tpu.models.core_model import core_forward
+    from cor_tpu.train.losses import core_total_loss
+
+    ref, sd, (B, D, G, image_feat, text_feat, grid_nchw), rng = _build_composite(
+        monkeypatch, multimask=False
+    )
+    cfg, params = _composite_cfg_and_params(
+        sd, False, D, image_feat, text_feat, grid_nchw, monkeypatch
+    )
+
+    # reference freezing (build_model.py:112-120)
+    for p in ref.image_encoder.parameters():
+        p.requires_grad = False
+    for p in ref.mask_decoder.iou_prediction_head.parameters():
+        p.requires_grad = False
+
+    q = rng.standard_normal((B, 3, 256, 256)).astype(np.float32)
+    s_img = rng.standard_normal((B, 3, 32, 32)).astype(np.float32)
+    s_mask = (rng.random((B, 1, 32, 32)) > 0.5).astype(np.float32)
+    text_ids = rng.integers(0, 64, (B, 8)).astype(np.int64)
+    gt = (rng.random((B, 1, 256, 256)) > 0.7).astype(np.float32)
+
+    # ---- reference side: forward + loss composite + autograd ----
+    pred, qemb, sfeat = ref(
+        torch.from_numpy(q), torch.from_numpy(s_img),
+        torch.from_numpy(text_ids), torch.from_numpy(s_mask),
+        multimask_output=False,
+    )
+    gt_t = torch.from_numpy(gt)
+    target = F.interpolate(gt_t, size=pred.shape[2:], mode="bilinear", align_corners=False)
+    loss_t = ref_wbce(pred, target) + 5 * ref_fg(qemb, sfeat, gt_t) + 5 * ref_bg(qemb, sfeat, gt_t)
+    loss_t.backward()
+    grad_sd = {
+        k: (p.grad.detach().float().numpy() if p.grad is not None else np.zeros_like(p.detach().numpy()))
+        for k, p in ref.named_parameters()
+    }
+
+    # ---- cor_tpu side: jax.value_and_grad over the same composite ----
+    def loss_fn(ps):
+        pr, qe, sf = core_forward(
+            ps,
+            jnp.asarray(q.transpose(0, 2, 3, 1)),
+            jnp.asarray(s_img.transpose(0, 2, 3, 1)),
+            jnp.asarray(text_ids.astype(np.int32)),
+            jnp.asarray(s_mask.transpose(0, 2, 3, 1)),
+            cfg,
+            key=None,  # train=True + no key: differentiable path, dropout off
+            train=True,
+        )
+        total, _ = core_total_loss(
+            jnp.transpose(pr, (0, 2, 3, 1)),
+            jnp.asarray(gt.transpose(0, 2, 3, 1)),
+            qe,
+            sf,
+        )
+        return total
+
+    loss_j, grads = jax.value_and_grad(loss_fn)(params)
+    assert abs(float(loss_j) - float(loss_t)) < 5e-4, (float(loss_j), float(loss_t))
+
+    # frozen towers: zero grads on our side (stop_gradient), None (-> zeros)
+    # on the reference side
+    enc_gnorm = float(
+        sum(jnp.sum(jnp.abs(g)) for g in jax.tree.leaves(grads["image_encoder"]))
+    )
+    assert enc_gnorm == 0.0, "frozen image encoder must receive zero gradient"
+    pe_g = grads["prompt_encoder"]["pe_layer"]["gaussian_matrix"]
+    assert float(jnp.sum(jnp.abs(pe_g))) == 0.0, "PE gaussian buffer must not train"
+
+    # trainable gradients: convert the reference's grad state dict through
+    # the SAME converters used for weights and compare subtree by subtree
+    def check(got_tree, want_tree, name, tol=2e-3):
+        got_l = jax.tree.leaves(got_tree)
+        want_l = jax.tree.leaves(as_jnp(want_tree))
+        assert len(got_l) == len(want_l), name
+        for g, w in zip(got_l, want_l):
+            scale = float(np.max(np.abs(np.asarray(w)))) + 1e-6
+            d = max_abs(g, w)
+            assert d < tol * max(1.0, scale), f"{name}: grad maxdiff {d} (scale {scale})"
+
+    check(grads["mask_decoder"], convert_sam_decoder(grad_sd), "mask_decoder grads")
+    check(
+        grads["support_branch"]["cir_fuse"],
+        convert_cir_fuse(grad_sd, "support_branch.cir_fuse"),
+        "cir_fuse grads",
+    )
+    check(
+        grads["support_branch"]["mask_pooling"],
+        convert_mask_adapter(grad_sd, "support_branch.mask_pooling"),
+        "mask adapter grads",
+    )
+    check(
+        grads["support_branch"]["dim_proj"],
+        {"lin1": _lin(grad_sd, "support_branch.dim_proj.0"), "lin2": _lin(grad_sd, "support_branch.dim_proj.3")},
+        "dim_proj grads",
+    )
+    check(
+        grads["prompt_encoder"]["no_mask_embed"],
+        grad_sd["prompt_encoder.no_mask_embed.weight"],
+        "no_mask_embed grad",
+    )
