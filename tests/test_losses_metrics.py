@@ -168,3 +168,34 @@ def test_contrastive_grads_finite_on_degenerate_inputs(rng):
         g_e, g_s = jax.grad(lambda e, s: loss(e, s, gt), argnums=(0, 1))(emb, sup)
         assert np.isfinite(np.asarray(g_e)).all(), loss.__name__
         assert np.isfinite(np.asarray(g_s)).all(), loss.__name__
+
+
+def test_soft_metrics_match_actual_reference(rng):
+    """Metrics vs the ACTUAL reference implementation (trainer_v3_g.py:381-443
+    imported directly), not a transcription."""
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    from utils.trainer_v3_g import (
+        compute_dice as r_dice,
+        compute_iou as r_iou,
+        compute_mae as r_mae,
+        compute_mdice as r_mdice,
+        compute_miou as r_miou,
+    )
+
+    pred = rng.random((5, 1, 16, 16)).astype(np.float32)
+    gt = (rng.random((5, 1, 16, 16)) > 0.5).astype(np.float32)
+    gt[2] = 0.0  # all-empty GT row (the reference's epsilon path)
+    ours = all_soft_metrics(
+        jnp.asarray(pred.transpose(0, 2, 3, 1)), jnp.asarray(gt.transpose(0, 2, 3, 1))
+    )
+    pt, gt_t = torch.from_numpy(pred), torch.from_numpy(gt)
+    for key, fn in (
+        ("dice", r_dice), ("mae", r_mae), ("iou", r_iou),
+        ("mdice", r_mdice), ("miou", r_miou),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(ours[key]), fn(pt, gt_t).numpy(), atol=1e-5, rtol=1e-4,
+            err_msg=key,
+        )
