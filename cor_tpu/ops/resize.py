@@ -39,13 +39,20 @@ def avg_pool_same(x: jax.Array, kernel: int, padding: int) -> jax.Array:
     edge-weight map in the segmentation loss (reference: utils/loss_func.py:18).
     x: NHWC.
     """
-    window = (1, kernel, kernel, 1)
+    # separable: two 1-D passes are k ops/pixel each instead of k^2 for the
+    # 2-D window (31x31 -> ~15x less reduce-window work; bit-identical sums
+    # up to fp32 reassociation)
+    x32 = x.astype(jnp.float32)
     summed = jax.lax.reduce_window(
-        x.astype(jnp.float32),
-        0.0,
-        jax.lax.add,
-        window_dimensions=window,
+        x32, 0.0, jax.lax.add,
+        window_dimensions=(1, kernel, 1, 1),
         window_strides=(1, 1, 1, 1),
-        padding=((0, 0), (padding, padding), (padding, padding), (0, 0)),
+        padding=((0, 0), (padding, padding), (0, 0), (0, 0)),
+    )
+    summed = jax.lax.reduce_window(
+        summed, 0.0, jax.lax.add,
+        window_dimensions=(1, 1, kernel, 1),
+        window_strides=(1, 1, 1, 1),
+        padding=((0, 0), (0, 0), (padding, padding), (0, 0)),
     )
     return (summed / float(kernel * kernel)).astype(x.dtype)
