@@ -67,6 +67,19 @@ def main(argv=None):
         )
 
     batch_size = args.batch_size or cfg.batch_size
+    if (
+        not args.synthetic
+        and not cfg.tokenizer_path
+        and (cfg.load_siglip_pretrained_checkpoint or cfg.load_checkpoint_path)
+    ):
+        import logging
+
+        logging.getLogger("cor_tpu.retrieve").warning(
+            "tokenizer_path is unset while pretrained weights are configured: "
+            "manifest texts will be HASH-tokenized with ids unrelated to the "
+            "trained vocab — reported recall would be meaningless. Set "
+            "tokenizer_path to the SigLIP sentencepiece artifact."
+        )
     if args.synthetic:
         ds = SyntheticDataset(
             length=args.synthetic,

@@ -100,6 +100,14 @@ def main(argv=None):
     start_epoch = 1
     explicit = bool(cfg.load_checkpoint_path)
     resume = cfg.load_checkpoint_path or latest_epoch_checkpoint(cfg.train_model_save_path)
+    if explicit and not Path(str(cfg.train_model_save_path), str(resume)).exists():
+        # an explicitly configured checkpoint that is MISSING is an error,
+        # not a silent fresh start (checkpoint names resolve under
+        # train_model_save_path)
+        raise FileNotFoundError(
+            f"load_checkpoint_path={resume!r} not found under "
+            f"{cfg.train_model_save_path!r}"
+        )
     if resume and Path(str(cfg.train_model_save_path), str(resume)).exists():
         # checkpoints are saved with or without a 'loss' entry (epoch saves
         # carry one; best_model_full / interrupted saves don't) — probe both

@@ -333,14 +333,14 @@ def get_valid_loader(cfg, csv_path: Optional[str] = None, tokenizer_path=None) -
         train=False,
         tokenizer_path=tokenizer_path or getattr(cfg, "tokenizer_path", None),
     )
-    import jax
-
+    # validation stays UNSHARDED across hosts: every downstream consumer
+    # (val_metric's manifest join by row order, pred-mask file naming, the
+    # trainer's host-side metric accumulation) assumes the full, globally
+    # ordered split; only the train loader shards (DistributedSampler analog)
     return DataLoader(
         ds,
         cfg.batch_size,
         shuffle=False,
         drop_last=False,
         num_workers=cfg.num_workers,
-        shard_id=jax.process_index(),
-        num_shards=jax.process_count(),
     )

@@ -80,12 +80,16 @@ def sample_metrics(pred_soft: np.ndarray, gt_bin: np.ndarray) -> Dict[str, float
     """The commented val_metric's per-sample metric set: binarized Dice/IoU,
     soft MAE, and mDice/mIoU as the fg/bg average where the background
     prediction is the SOFT complement re-binarized (vailder.py:329-365)."""
+    dice = _np_dice(pred_soft, gt_bin)
+    iou = _np_iou(pred_soft, gt_bin)
+    bg_dice = _np_dice(1.0 - pred_soft, 1.0 - gt_bin)
+    bg_iou = _np_iou(1.0 - pred_soft, 1.0 - gt_bin)
     return {
-        "Dice": _np_dice(pred_soft, gt_bin),
+        "Dice": dice,
         "MAE": float(np.abs(pred_soft - gt_bin).mean()),
-        "IoU": _np_iou(pred_soft, gt_bin),
-        "mDice": 0.5 * (_np_dice(pred_soft, gt_bin) + _np_dice(1.0 - pred_soft, 1.0 - gt_bin)),
-        "mIoU": 0.5 * (_np_iou(pred_soft, gt_bin) + _np_iou(1.0 - pred_soft, 1.0 - gt_bin)),
+        "IoU": iou,
+        "mDice": 0.5 * (dice + bg_dice),
+        "mIoU": 0.5 * (iou + bg_iou),
     }
 
 

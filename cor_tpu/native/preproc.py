@@ -30,11 +30,16 @@ def _build() -> Optional[ctypes.CDLL]:
         return None
     try:
         if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+            # compile to a process-unique temp path, then atomically rename:
+            # concurrent processes (train + eval CLIs, pytest workers) must
+            # never CDLL a half-written .so
+            tmp = _SO.with_suffix(f".{os.getpid()}.tmp")
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-funroll-loops", "-shared", "-fPIC", "-std=c++17",
-                 str(_SRC), "-o", str(_SO)],
+                 str(_SRC), "-o", str(tmp)],
                 check=True, capture_output=True, timeout=120,
             )
+            os.replace(tmp, _SO)
         lib = ctypes.CDLL(str(_SO))
         u8p = ctypes.POINTER(ctypes.c_uint8)
         f32p = ctypes.POINTER(ctypes.c_float)

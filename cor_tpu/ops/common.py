@@ -160,6 +160,19 @@ _PHI_COEF = (
 )
 
 
+def gelu_poly(x: jax.Array) -> jax.Array:
+    """The polynomial GELU itself (same float dtype in/out). Shared by the
+    XLA path below and the Pallas kernels (ops/pallas/upscale._gelu_fast) so
+    the fit lives in exactly one place."""
+    t = jnp.clip(x, -4.0, 4.0)
+    t2 = t * t
+    p = jnp.full_like(t, _PHI_COEF[-1])
+    for c in _PHI_COEF[-2::-1]:
+        p = p * t2 + c
+    phi = jnp.clip(0.5 + t * p, 0.0, 1.0)
+    return x * phi
+
+
 def gelu(x: jax.Array) -> jax.Array:
     """GELU. Exact (erf — torch nn.GELU default) in fp32; on bf16 a pure-FMA
     polynomial whose error sits below bf16 rounding — XLA lowers erf to a
@@ -167,13 +180,7 @@ def gelu(x: jax.Array) -> jax.Array:
     on TPU (traced: ~half of each SigLIP fc1 fusion)."""
     if x.dtype != jnp.bfloat16:
         return jax.nn.gelu(x, approximate=False)
-    t = jnp.clip(x.astype(jnp.float32), -4.0, 4.0)
-    t2 = t * t
-    p = jnp.full_like(t, _PHI_COEF[-1])
-    for c in _PHI_COEF[-2::-1]:
-        p = p * t2 + c
-    phi = jnp.clip(0.5 + t * p, 0.0, 1.0)
-    return (x.astype(jnp.float32) * phi).astype(x.dtype)
+    return gelu_poly(x.astype(jnp.float32)).astype(x.dtype)
 
 
 def dropout(

@@ -49,28 +49,10 @@ def _gelu_exact(x: jax.Array) -> jax.Array:
     return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
 
 
-# Phi(x) ~ 0.5 + x * P(x^2): odd weighted-LSQ fit on [-4, 4]; max |gelu err|
-# 5e-4 — below bf16 activation rounding. Pure FMA chain (no exp / divide,
-# which dominate the erf path's VPU time on the decode hot loop).
-_PHI_COEF = (
-    0.39855776275783333,
-    -0.06546097000813282,
-    0.009158315168214496,
-    -0.0008905877453283454,
-    5.559049643534051e-05,
-    -1.971194304145214e-06,
-    2.9860408138662485e-08,
-)
-
-
-def _gelu_fast(x: jax.Array) -> jax.Array:
-    t = jnp.clip(x, -4.0, 4.0)
-    t2 = t * t
-    p = jnp.full_like(t, _PHI_COEF[-1])
-    for c in _PHI_COEF[-2::-1]:
-        p = p * t2 + c
-    phi = jnp.clip(0.5 + t * p, 0.0, 1.0)
-    return x * phi
+# fast polynomial GELU (no exp / divide, which dominate the erf path's VPU
+# time on the decode hot loop); the fit lives in ops/common.gelu_poly —
+# ONE source of truth shared with the XLA bf16 gelu
+from cor_tpu.ops.common import gelu_poly as _gelu_fast  # noqa: E402
 
 
 def _gelu(x: jax.Array) -> jax.Array:

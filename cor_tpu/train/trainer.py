@@ -82,10 +82,12 @@ class Trainer:
         self.eval_step = make_eval_step(self.core_cfg)
         self.best = BestTracker()
         self.rng = jax.random.PRNGKey(cfg.seed)
-        # --profile N: capture a jax.profiler trace of the first N train steps
+        # --profile N: capture a jax.profiler trace of the first N train
+        # steps (a GLOBAL step count — the trace spans epoch boundaries)
         self.profile_steps = profile_steps
         self.profile_dir = profile_dir
         self._profiling = False
+        self._profiled_steps = 0
 
     # ------------------------------------------------------------------
     def train_epoch(self, loader, epoch: int) -> float:
@@ -128,12 +130,14 @@ class Trainer:
                 )
                 pending.append(metrics["total_loss"])
                 timer.toc()
-                if self._profiling and batch_idx >= self.profile_steps:
-                    jax.block_until_ready(metrics["total_loss"])  # capture real device work
-                    jax.profiler.stop_trace()
-                    self._profiling = False
-                    self.profile_steps = 0  # consume-once
-                    self.logger.info(f"[Profile]: trace written to {self.profile_dir}")
+                if self._profiling:
+                    self._profiled_steps += 1
+                    if self._profiled_steps >= self.profile_steps:
+                        jax.block_until_ready(metrics["total_loss"])  # capture real device work
+                        jax.profiler.stop_trace()
+                        self._profiling = False
+                        self.profile_steps = 0  # consume-once
+                        self.logger.info(f"[Profile]: trace written to {self.profile_dir}")
                 if batch_idx == 1 or batch_idx % cfg.batch_record_interval == 0 or batch_idx == total_batches:
                     drain()
                     self.logger.info(

@@ -23,6 +23,12 @@ sys.modules.setdefault("open_clip", types.ModuleType("open_clip"))
 
 import utils.dataloader as ref_dl  # noqa: E402
 
+# drop the torchvision stub again: transformers' availability probe chokes on
+# a spec-less module in sys.modules (ref_dl already holds its references)
+for _name in ("torchvision", "torchvision.transforms"):
+    if getattr(sys.modules.get(_name), "__spec__", "x") is None:
+        sys.modules.pop(_name, None)
+
 from cor_tpu.data import augment as aug  # noqa: E402
 
 
