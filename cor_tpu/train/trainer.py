@@ -208,9 +208,17 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def fit(self, train_loader, val_loader, start_epoch: int = 1):
-        for epoch in range(start_epoch, self.cfg.epoch + 1):
-            self.train_epoch(train_loader, epoch)
-            self.val_epoch(val_loader, epoch)
+        try:
+            for epoch in range(start_epoch, self.cfg.epoch + 1):
+                self.train_epoch(train_loader, epoch)
+                self.val_epoch(val_loader, epoch)
+        finally:
+            if self._profiling:
+                # --profile N exceeded the total number of train steps: close
+                # the trace so the capture is written rather than dangling
+                jax.profiler.stop_trace()
+                self._profiling = False
+                self.logger.info(f"[Profile]: trace written to {self.profile_dir}")
         return self.best
 
     # ------------------------------------------------------------------
