@@ -93,7 +93,7 @@ def main() -> None:
         # 3) mask-decode every retrieved candidate (chunked micro-batches so
         #    the [*, 4096, 256] decoder activations stay HBM-bounded), then
         #    re-rank candidates by the decoder's predicted mask IoU
-        flat_idx = top_idx.reshape(-1) % STORE  # [Q*K]
+        flat_idx = top_idx.reshape(-1) % cand_store.shape[0]  # [Q*K]
         prompts = jnp.repeat(qfeat, K, axis=0)[:, None, :]  # [Q*K, 1, 256]
         image_pe = get_dense_pe(p["prompt_encoder"], cfg.prompt).astype(cfg.dtype)
 
@@ -167,6 +167,40 @@ def main() -> None:
     candidates_per_sec = (Q * K * iters) / dt
 
     # ------------------------------------------------------------------
+    # Realistic-store check: STORE=128 gives the decode path a hot 0.27 GB
+    # working set with heavy index reuse. A deployed gallery shard is colder:
+    # re-time with a 4.3 GB resident store (2048 unique [64,64,256] bf16
+    # rows — every top-idx maps to a distinct row, defeating reuse) and
+    # report the honest delta next to the headline.
+    # ------------------------------------------------------------------
+    STORE_BIG = 2048
+    big_iters = 10
+    # generated ON DEVICE: a 4.3 GB host->device ship over the relay tunnel
+    # takes tens of minutes; jax.random.normal on-chip is instant
+    big_store = (
+        jax.random.normal(
+            jax.random.PRNGKey(7), (STORE_BIG, 64, 64, 256), dtype=jnp.bfloat16
+        )
+        + no_mask
+    )
+
+    def pipeline_big(params, support_img, text, support_mask, gallery, cand_store):
+        def body(carry, i):
+            si = support_img + i.astype(jnp.float32) * 1e-6
+            *_, checksum = pipeline(params, si, text, support_mask, gallery, cand_store)
+            return carry + checksum, None
+        c, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(big_iters))
+        return c
+
+    fn_big = jax.jit(pipeline_big)
+    args_big = (params, support_img, text, support_mask, gallery, big_store)
+    float(fn_big(*args_big))
+    t0 = time.perf_counter()
+    float(fn_big(*args_big))
+    big_dt = time.perf_counter() - t0
+    candidates_per_sec_big_store = (Q * K * big_iters) / big_dt
+
+    # ------------------------------------------------------------------
     # Second metric: COR127K-scale full-gallery scan (127,166 rows — the
     # benchmark's triplet count) + self-consistent Recall@1. Queries ARE
     # gallery rows, so exact top-1 self-retrieval is the correctness check
@@ -207,6 +241,46 @@ def main() -> None:
     scan_dt = time.perf_counter() - t0
     full_gallery_qps = QB * scan_iters / scan_dt
 
+    # ------------------------------------------------------------------
+    # approx_max_k on a CLUSTERED gallery: real embedding galleries are not
+    # isotropic — near-duplicate objects sit at small angular margins. Build
+    # 408 classes (COR127K's category count) of per-class Gaussian blobs at
+    # decreasing spread and measure approx-vs-exact top-10 overlap and
+    # self-Recall@1 of the approximate scan at each margin.
+    # ------------------------------------------------------------------
+    @jax.jit
+    def scan127_exact(queries, gallery):
+        s = jnp.dot(queries, gallery.T, preferred_element_type=jnp.float32)
+        return jax.lax.top_k(s, 10)
+
+    n_classes = 408
+    centers = rng.standard_normal((n_classes, 256)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    centers_dev = jnp.asarray(centers)
+    cluster_stats = {}
+    for sigma in (0.5, 0.2, 0.1, 0.05):
+        # members assembled ON DEVICE (host->device gallery ships are slow
+        # over the relay): normalize(center[label] + sigma * noise)
+        labels = jnp.asarray(rng.integers(0, n_classes, G127).astype(np.int32))
+        noise = jax.random.normal(
+            jax.random.PRNGKey(int(sigma * 1000)), (G127, 256), jnp.float32
+        )
+        gc_dev = centers_dev[labels] + sigma * noise
+        gc_dev = gc_dev / jnp.linalg.norm(gc_dev, axis=1, keepdims=True)
+        probe_rows_c = rng.integers(0, G127, QB)
+        probe_c = gc_dev[jnp.asarray(probe_rows_c.astype(np.int32))]
+        _, exact_i = scan127_exact(probe_c, gc_dev)
+        _, approx_i = scan127(probe_c, gc_dev)
+        exact_i, approx_i = np.asarray(exact_i), np.asarray(approx_i)
+        overlap = np.mean(
+            [len(set(exact_i[r]) & set(approx_i[r])) / 10.0 for r in range(QB)]
+        )
+        r1 = float(np.mean(approx_i[:, 0] == probe_rows_c))
+        cluster_stats[f"sigma_{sigma}"] = {
+            "approx_vs_exact_top10_overlap": round(float(overlap), 4),
+            "approx_self_recall_at_1": round(r1, 4),
+        }
+
     baseline = 5000.0
     print(
         json.dumps(
@@ -219,6 +293,11 @@ def main() -> None:
                     "cor127k_full_gallery_queries_per_sec": round(full_gallery_qps, 2),
                     "cor127k_gallery_rows": G127,
                     "self_recall_at_1": recall1,
+                    "realistic_store_candidates_per_sec": round(
+                        candidates_per_sec_big_store, 2
+                    ),
+                    "realistic_store_rows": STORE_BIG,
+                    "clustered_gallery_approx_recall": cluster_stats,
                 },
             }
         )

@@ -21,6 +21,10 @@ def main(argv=None):
 
     import jax
 
+    from cor_tpu.utils.runtime import enable_compile_cache
+
+    enable_compile_cache()
+
     from cor_tpu.config import load_eval_config
     from cor_tpu.data.pipeline import get_valid_loader
     from cor_tpu.eval.validator import save_hard_pred_masks, save_soft_pred_masks, val_metric
@@ -79,11 +83,16 @@ def main(argv=None):
             continue
         loader = get_valid_loader(cfg, csv_path=csv_path)
         out_dir = Path(cfg.vaild_model_save_path) / split_name
-        written = save_hard_pred_masks(predict, params, loader, out_dir)
+        # dump filenames are {pair_id}_{query_mask_name} exactly like the
+        # reference (vailder.py:466-484) so offline Recall@K tooling keyed on
+        # that convention matches; the loader is unshuffled/drop_last=False so
+        # manifest row order == sample order
+        mask_names = list(loader.dataset.df["Query_mask"].astype(str))
+        written = save_hard_pred_masks(predict, params, loader, out_dir, mask_names=mask_names)
         logger.info(f"[{split_name}] wrote {len(written)} hard masks to {out_dir}")
         if args.soft:
             loader = get_valid_loader(cfg, csv_path=csv_path)
-            save_soft_pred_masks(predict, params, loader, out_dir)
+            save_soft_pred_masks(predict, params, loader, out_dir, mask_names=mask_names)
         loader = get_valid_loader(cfg, csv_path=csv_path)
         summary = val_metric(
             predict,

@@ -45,6 +45,10 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    from cor_tpu.utils.runtime import enable_compile_cache
+
+    enable_compile_cache()
+
     from cor_tpu.config import load_eval_config
     from cor_tpu.data.pipeline import CORDataset, DataLoader, SyntheticDataset
     from cor_tpu.models.core_model import init_core_model

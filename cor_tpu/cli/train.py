@@ -42,12 +42,16 @@ def main(argv=None):
 
     import jax
 
+    from cor_tpu.utils.runtime import enable_compile_cache
+
+    enable_compile_cache()
+
     from cor_tpu.config import load_train_config
     from cor_tpu.data.pipeline import DataLoader, SyntheticDataset, get_train_loader, get_valid_loader
     from cor_tpu.models.core_model import init_core_model
-    from cor_tpu.train.checkpoint import latest_epoch_checkpoint, restore_checkpoint
+    from cor_tpu.train.checkpoint import resolve_resume
     from cor_tpu.train.optim import count_params, make_optimizer, trainable_mask
-    from cor_tpu.train.step import TrainState, create_train_state
+    from cor_tpu.train.step import create_train_state
     from cor_tpu.train.trainer import Trainer
     from cor_tpu.utils.convert import load_sam_weights, load_siglip_weights
     from cor_tpu.utils.meters import init_logger
@@ -97,45 +101,7 @@ def main(argv=None):
     )
     state = create_train_state(params, tx)
 
-    start_epoch = 1
-    explicit = bool(cfg.load_checkpoint_path)
-    resume = cfg.load_checkpoint_path or latest_epoch_checkpoint(cfg.train_model_save_path)
-    if explicit and not Path(str(cfg.train_model_save_path), str(resume)).exists():
-        # an explicitly configured checkpoint that is MISSING is an error,
-        # not a silent fresh start (checkpoint names resolve under
-        # train_model_save_path)
-        raise FileNotFoundError(
-            f"load_checkpoint_path={resume!r} not found under "
-            f"{cfg.train_model_save_path!r}"
-        )
-    if resume and Path(str(cfg.train_model_save_path), str(resume)).exists():
-        # checkpoints are saved with or without a 'loss' entry (epoch saves
-        # carry one; best_model_full / interrupted saves don't) — probe both
-        base = {
-            "params": state.params,
-            "opt_state": state.opt_state,
-            "step": state.step,
-            "epoch": np.int32(0),
-        }
-        restored, last_err = None, None
-        for template in (base, {**base, "loss": np.float32(0)}):
-            try:
-                restored = restore_checkpoint(cfg.train_model_save_path, str(resume), template)
-                break
-            except Exception as e:
-                last_err = e
-        if restored is not None:
-            state = TrainState(restored["params"], restored["opt_state"], restored["step"])
-            start_epoch = int(restored["epoch"]) + 1
-            logger.info(f"Resumed from {resume} at epoch {start_epoch}")
-        elif explicit:
-            # an explicitly configured checkpoint that fails to load is an
-            # error, not a silent fresh start (the reference fails loudly too)
-            raise RuntimeError(
-                f"load_checkpoint_path={resume!r} could not be restored: {last_err}"
-            )
-        else:
-            logger.info(f"Auto-resume from {resume} failed ({last_err}); training from scratch")
+    state, start_epoch = resolve_resume(cfg, state, logger)
 
     if args.synthetic:
         train_ds = SyntheticDataset(length=4 * cfg.batch_size, seed=cfg.seed, train=True)

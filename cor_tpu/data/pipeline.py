@@ -249,8 +249,9 @@ class DataLoader:
         self.num_shards = num_shards
 
     def _shard_len(self) -> int:
-        n = len(self.dataset)
-        return (n - self.shard_id + self.num_shards - 1) // self.num_shards
+        # every shard is padded (by wrapping) to the same ceil(n/num_shards)
+        # length, so all hosts yield identical batch counts per epoch
+        return -(-len(self.dataset) // self.num_shards)
 
     def __len__(self) -> int:
         n = self._shard_len()
@@ -261,6 +262,15 @@ class DataLoader:
         if self.shuffle:
             np.random.default_rng((self.seed, self.epoch)).shuffle(order)
         if self.num_shards > 1:
+            # equal-length shards, DistributedSampler-style: pad the global
+            # order by wrapping so len(order) divides num_shards — otherwise
+            # hosts get shard lengths differing by 1 and (with drop_last) can
+            # execute DIFFERENT numbers of collective train steps, deadlocking
+            # the job at epoch end (torch DistributedSampler pads for the
+            # same reason)
+            total = self._shard_len() * self.num_shards
+            if total > len(order):
+                order = np.concatenate([order, order[: total - len(order)]])
             order = order[self.shard_id :: self.num_shards]
         if hasattr(self.dataset, "epoch"):
             self.dataset.epoch = self.epoch  # fresh augmentation draws per epoch

@@ -202,11 +202,16 @@ def val_metric(
     binarized metric set against the native binary GT.
 
     ``manifest`` (the split's DataFrame, e.g. ``CORDataset.df``) joins the
-    reference's metadata columns into the CSV by row order; geometry matches
-    save_hard_pred_masks exactly (same cv2 resize to the same native_hw).
+    reference's metadata columns into the CSV by pair Id — NOT by row order,
+    so a shuffled/sharded/drop_last loader can never silently misalign
+    metadata with metrics; geometry matches save_hard_pred_masks exactly
+    (same cv2 resize to the same native_hw).
     """
     csv_path = Path(csv_path)
     csv_path.parent.mkdir(parents=True, exist_ok=True)
+    meta_by_id = None
+    if manifest is not None and "Id" in getattr(manifest, "columns", ()):
+        meta_by_id = manifest.set_index("Id", drop=False)
     rows = []
     sample_idx = 0
     for batch in loader:
@@ -221,9 +226,12 @@ def val_metric(
                 gt = _native_gt(batch, i, hw)
                 if gt is None:
                     raise ValueError("no GT available for sample")
-                row = {"Id": int(batch["pair_id"][i])}
-                if manifest is not None and sample_idx < len(manifest):
-                    m = manifest.iloc[sample_idx]
+                pid = int(batch["pair_id"][i])
+                row = {"Id": pid}
+                if meta_by_id is not None and pid in meta_by_id.index:
+                    m = meta_by_id.loc[pid]
+                    if getattr(m, "ndim", 1) == 2:  # duplicate Ids: take first
+                        m = m.iloc[0]
                     for c in _META_COLUMNS:
                         if c in m:
                             row[c] = m[c]

@@ -64,6 +64,11 @@ class SamEncoderConfig:
     # Pallas VMEM-resident rel-pos attention (the encoder is frozen in CORE,
     # so the forward-only kernel is safe on every path; small dims fall back)
     fused_attention: bool = True
+    # per-block rematerialization. Free on CORE's train path (the encoder
+    # output is stop_gradient'ed so no backward — and therefore no remat
+    # recomputation — is ever built), but the toggle lets an unfrozen
+    # fine-tune or a measurement turn it off
+    remat_blocks: bool = True
 
     @property
     def grid(self) -> int:
@@ -166,10 +171,13 @@ def sam_encoder(p: Params, x: jax.Array, cfg: SamEncoderConfig) -> jax.Array:
 
     for i, bp in enumerate(p["blocks"]):
         window = 0 if i in cfg.global_attn_indexes else cfg.window_size
-        # rematerialize each block: trade FLOPs for HBM on the backward pass
-        x = jax.checkpoint(
-            lambda xx, bp=bp, window=window: _block(bp, xx, cfg, window)
-        )(x)
+        if cfg.remat_blocks:
+            # rematerialize each block: trade FLOPs for HBM on the backward
+            x = jax.checkpoint(
+                lambda xx, bp=bp, window=window: _block(bp, xx, cfg, window)
+            )(x)
+        else:
+            x = _block(bp, x, cfg, window)
 
     n = p["neck"]
     x = conv2d(n["conv1"], x)

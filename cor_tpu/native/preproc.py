@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import ctypes
 import os
+import platform
 import subprocess
 import threading
 from pathlib import Path
@@ -18,7 +19,31 @@ import numpy as np
 
 _HERE = Path(__file__).parent
 _SRC = _HERE / "preproc.cpp"
-_SO = _HERE / "_preproc.so"
+# The cache name carries a host-ISA tag: the build uses -march=native, so a
+# cached .so compiled on one machine can SIGILL loader threads on another
+# (e.g. a shared filesystem mounted across heterogeneous CPUs) — and SIGILL
+# cannot be caught by _build's except-fallback. The tag hashes the CPU
+# feature flags, which distinguishes e.g. AVX2 from AVX-512 hosts that both
+# report machine()=="x86_64".
+
+
+def _isa_tag() -> str:
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = line
+                    break
+    except OSError:
+        pass
+    import hashlib
+
+    h = hashlib.sha1(flags.encode()).hexdigest()[:8]
+    return f"{platform.machine()}-{h}"
+
+
+_SO = _HERE / f"_preproc.{_isa_tag()}.so"
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None

@@ -184,11 +184,26 @@ def _kernel(
     vblk = ((_dot(sel, v_i.astype(dt)) * mask_i)).astype(dt)  # [HT, I]
     wo_i = wo_i_ref[:]
     bo_i = bo_i_ref[:]
+    H = pb_ht_ref.shape[1] // _T  # heads; HT columns = H blocks of T tokens
     for i in range(n_tiles):
         q_img = q_img_tiles[i]  # [TILE, I] bf16 (pre-scaled? scale applied below)
         l2 = _dot_t((q_img.astype(jnp.float32) * cross_scale).astype(dt), kblk)
         l2 = l2 + pb_ht_ref[:]  # [TILE, HT]
-        e2 = jnp.exp(l2 - jnp.max(l2, axis=-1, keepdims=True))
+        # per-HEAD max (reference softmax is per-head): a global max would
+        # underflow e2 to 0 across an entire head whose logits sit ~88+ below
+        # another head's max, making that head's normalizer d2 zero -> NaN.
+        # Static lane slices per head block; broadcast back over its T lanes.
+        m2 = jnp.concatenate(
+            [
+                jnp.broadcast_to(
+                    jnp.max(l2[:, h * _T : (h + 1) * _T], axis=-1, keepdims=True),
+                    (l2.shape[0], _T),
+                )
+                for h in range(H)
+            ],
+            axis=-1,
+        )
+        e2 = jnp.exp(l2 - m2)
         d2 = _dot(e2.astype(dt), g.astype(dt))  # per-head normalizer
         a2 = (e2 / d2).astype(dt)
         av2 = _dot(a2, vblk)  # [TILE, I] disjoint per-head lanes

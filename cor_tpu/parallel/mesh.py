@@ -55,8 +55,23 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host batch pytree onto the mesh, sharded along axis 0."""
+    """Place a host batch pytree onto the mesh, sharded along axis 0.
+
+    Single-process: a plain device_put against the (global == local) mesh.
+    Multi-host: each process's batch is its DISJOINT shard of the global
+    batch (the train loader shards indices by ``jax.process_index()``), so
+    the global array is assembled with
+    ``jax.make_array_from_process_local_data`` — the global batch axis is
+    local_rows x process_count. A bare device_put of per-host data against a
+    global-mesh sharding would instead treat every host's rows as the same
+    global batch (or fail placement).
+    """
     s = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)),
+            batch,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
 
 

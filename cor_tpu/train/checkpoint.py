@@ -58,6 +58,62 @@ def restore_checkpoint(
     return ckptr.restore(path)
 
 
+def resolve_resume(cfg, state, logger):
+    """Resume-decision logic shared by the train CLI (my_train_a.py:206-223).
+
+    Returns (state, start_epoch). Semantics:
+    - explicit ``cfg.load_checkpoint_path``: missing or unrestorable is a
+      hard error (the reference fails loudly too), never a silent fresh start
+    - auto-resume (newest ``checkpoint_epoch_N``): unrestorable degrades to
+      a fresh start, but with a prominent WARNING — a corrupted latest
+      checkpoint silently restarting a long run is the failure mode
+    - checkpoints are saved with or without a 'loss' entry (epoch saves carry
+      one; best_model_full / interrupted saves don't) — probe both templates
+    """
+    from cor_tpu.train.step import TrainState
+
+    start_epoch = 1
+    explicit = bool(cfg.load_checkpoint_path)
+    resume = cfg.load_checkpoint_path or latest_epoch_checkpoint(cfg.train_model_save_path)
+    if explicit and not Path(str(cfg.train_model_save_path), str(resume)).exists():
+        raise FileNotFoundError(
+            f"load_checkpoint_path={resume!r} not found under "
+            f"{cfg.train_model_save_path!r}"
+        )
+    if resume and Path(str(cfg.train_model_save_path), str(resume)).exists():
+        base = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": state.step,
+            "epoch": np.int32(0),
+        }
+        restored, last_err = None, None
+        for template in (base, {**base, "loss": np.float32(0)}):
+            try:
+                restored = restore_checkpoint(cfg.train_model_save_path, str(resume), template)
+                break
+            except Exception as e:
+                last_err = e
+        if restored is not None:
+            state = TrainState(restored["params"], restored["opt_state"], restored["step"])
+            start_epoch = int(restored["epoch"]) + 1
+            logger.info(f"Resumed from {resume} at epoch {start_epoch}")
+        elif explicit:
+            raise RuntimeError(
+                f"load_checkpoint_path={resume!r} could not be restored: {last_err}"
+            )
+        else:
+            logger.warning(
+                f"AUTO-RESUME FAILED: found {resume!r} under "
+                f"{cfg.train_model_save_path!r} but it could not be restored "
+                f"({last_err}). Training RESTARTS FROM SCRATCH at epoch 1 — "
+                "if this run was meant to continue, stop it and repair/point "
+                "load_checkpoint_path at a good checkpoint (explicit paths "
+                "hard-fail instead of restarting)."
+            )
+    return state, start_epoch
+
+
 def latest_epoch_checkpoint(directory: str | Path) -> Optional[str]:
     """Find the newest `checkpoint_epoch_N` under directory (resume support,
     reference: my_train_a.py:206-223)."""

@@ -152,8 +152,11 @@ class Trainer:
             raise
 
         drain()
-        # single-host mesh: the per-process (local) and gathered (global)
-        # epoch means coincide (reference: trainer_v3_g.py:100-124)
+        # each step's total_loss is a mean over the GLOBAL batch (computed
+        # inside the jitted step on the mesh; multi-host batches are
+        # assembled into one global array by shard_batch), so the epoch mean
+        # already aggregates every host's samples — the same semantics as
+        # the reference's gather-weighted mean (trainer_v3_g.py:100-124)
         local_loss = loss_meter.average
         global_loss = local_loss
         duration = time.time() - t_epoch

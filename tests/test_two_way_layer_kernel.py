@@ -86,3 +86,38 @@ def test_store_indexed_decode_matches_gather(full_size_layer, rng):
     )
     np.testing.assert_allclose(np.asarray(m_idx), np.asarray(m_ref), atol=2e-4, rtol=2e-4)
     np.testing.assert_allclose(np.asarray(iou_idx), np.asarray(iou_ref), atol=2e-4, rtol=2e-4)
+
+
+def test_two_way_layer_fused_per_head_softmax_stability(full_size_layer, rng):
+    """i2t softmax max-subtraction must be PER HEAD (round-2 advice): with a
+    global max, a head whose entire logit block sits ~88+ below another
+    head's max underflows to exp()==0 across the block, zeroing its
+    normalizer and emitting NaN. Scale one head's i2t key projection so its
+    logits dwarf every other head's and check fused == unfused, NaN-free."""
+    cfg, p = full_size_layer
+    lp = jax.tree.map(jnp.array, p["layers"][0])  # deep copy
+    head_dim = (cfg.embedding_dim // 2) // cfg.num_heads  # downsample rate 2
+    w = np.array(lp["cross_attn_i2t"]["k_proj"]["w"])
+    b = np.array(lp["cross_attn_i2t"]["k_proj"]["b"])
+    w[:, :head_dim] *= 400.0  # head 0's keys explode its logits
+    b[:head_dim] *= 400.0
+    lp["cross_attn_i2t"]["k_proj"]["w"] = jnp.asarray(w)
+    lp["cross_attn_i2t"]["k_proj"]["b"] = jnp.asarray(b)
+
+    B, N, C = 1, twl._TILE * 2, 256
+    keys = jnp.asarray(rng.standard_normal((B, N, C)).astype(np.float32) * 0.5)
+    tokens = jnp.asarray(rng.standard_normal((B, 6, C)).astype(np.float32) * 0.5)
+    key_pe = jnp.asarray(rng.standard_normal((1, N, C)).astype(np.float32) * 0.5)
+    kpe = _matmul_nobias(lp["cross_attn_t2i"]["k_proj"], key_pe)[0]
+    qpe_img = _matmul_nobias(lp["cross_attn_i2t"]["q_proj"], key_pe)[0]
+
+    q_ref, k_ref = _two_way_block(
+        lp, tokens, keys, tokens, key_pe, cfg.num_heads,
+        skip_first_layer_pe=True, fused=False,
+    )
+    q_f, k_f = twl.two_way_layer_fused(
+        lp, tokens, tokens, keys, kpe, qpe_img, cfg.num_heads, skip_pe=True
+    )
+    assert np.isfinite(np.asarray(k_f)).all()
+    np.testing.assert_allclose(np.asarray(q_f), np.asarray(q_ref), atol=3e-4, rtol=3e-4)
+    np.testing.assert_allclose(np.asarray(k_f), np.asarray(k_ref), atol=3e-4, rtol=3e-4)
