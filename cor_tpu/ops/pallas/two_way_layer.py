@@ -184,25 +184,27 @@ def _kernel(
     vblk = ((_dot(sel, v_i.astype(dt)) * mask_i)).astype(dt)  # [HT, I]
     wo_i = wo_i_ref[:]
     bo_i = bo_i_ref[:]
-    H = pb_ht_ref.shape[1] // _T  # heads; HT columns = H blocks of T tokens
+    # Per-head softmax shift (the reference softmax is per-head): a GLOBAL
+    # max would underflow e2 to 0 across an entire head whose logits sit
+    # ~88+ below another head's max, zeroing its normalizer d2 -> NaN.
+    # Softmax is invariant to ANY uniform per-head shift, so instead of the
+    # per-head MAX (per-head lane slices / roll tournaments both measured
+    # ~11-25% of end-to-end pipeline throughput in lane-shuffle cost) use
+    # the per-head MEAN over real token lanes — one MXU GEMM against the
+    # existing block-diag `g`. Exact, and d2 >= exp(max-mean) >= 1 so the
+    # normalizer can never underflow to 0 regardless of cross-head spread.
+    # Only limitation: exp overflows if a single head's internal logit
+    # RANGE (max - mean) exceeds ~88 — attention logits are O(10), and even
+    # logit range 80 is already a hard one-hot, so this regime is
+    # unreachable in practice (the cross-head spread that caused the NaN is
+    # handled exactly at ANY magnitude).
+    rl = (pb_ht_ref[:] > -1.0).astype(jnp.float32)  # [1, HT] real-lane mask
+    counts = _dot(rl.astype(dt), g.astype(dt))  # [1, HT]: real lanes per head
     for i in range(n_tiles):
         q_img = q_img_tiles[i]  # [TILE, I] bf16 (pre-scaled? scale applied below)
         l2 = _dot_t((q_img.astype(jnp.float32) * cross_scale).astype(dt), kblk)
         l2 = l2 + pb_ht_ref[:]  # [TILE, HT]
-        # per-HEAD max (reference softmax is per-head): a global max would
-        # underflow e2 to 0 across an entire head whose logits sit ~88+ below
-        # another head's max, making that head's normalizer d2 zero -> NaN.
-        # Static lane slices per head block; broadcast back over its T lanes.
-        m2 = jnp.concatenate(
-            [
-                jnp.broadcast_to(
-                    jnp.max(l2[:, h * _T : (h + 1) * _T], axis=-1, keepdims=True),
-                    (l2.shape[0], _T),
-                )
-                for h in range(H)
-            ],
-            axis=-1,
-        )
+        m2 = _dot((l2 * rl).astype(dt), g.astype(dt)) / counts  # per-head mean
         e2 = jnp.exp(l2 - m2)
         d2 = _dot(e2.astype(dt), g.astype(dt))  # per-head normalizer
         a2 = (e2 / d2).astype(dt)

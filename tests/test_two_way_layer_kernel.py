@@ -89,19 +89,20 @@ def test_store_indexed_decode_matches_gather(full_size_layer, rng):
 
 
 def test_two_way_layer_fused_per_head_softmax_stability(full_size_layer, rng):
-    """i2t softmax max-subtraction must be PER HEAD (round-2 advice): with a
+    """The i2t softmax shift must be PER HEAD (round-2 advice): with a
     global max, a head whose entire logit block sits ~88+ below another
     head's max underflows to exp()==0 across the block, zeroing its
-    normalizer and emitting NaN. Scale one head's i2t key projection so its
-    logits dwarf every other head's and check fused == unfused, NaN-free."""
+    normalizer and emitting NaN. Shift head 0's i2t key-projection BIAS by
+    +400: every key of head 0 moves by the same vector, so each image row's
+    head-0 logits shift uniformly by q_row . b — hundreds above (or below)
+    every other head's logits, while every head's INTERNAL logit range
+    stays O(1) (the realistic regime: cross-head spread large, within-head
+    range small). Check fused == unfused, NaN-free."""
     cfg, p = full_size_layer
     lp = jax.tree.map(jnp.array, p["layers"][0])  # deep copy
     head_dim = (cfg.embedding_dim // 2) // cfg.num_heads  # downsample rate 2
-    w = np.array(lp["cross_attn_i2t"]["k_proj"]["w"])
     b = np.array(lp["cross_attn_i2t"]["k_proj"]["b"])
-    w[:, :head_dim] *= 400.0  # head 0's keys explode its logits
-    b[:head_dim] *= 400.0
-    lp["cross_attn_i2t"]["k_proj"]["w"] = jnp.asarray(w)
+    b[:head_dim] += 400.0
     lp["cross_attn_i2t"]["k_proj"]["b"] = jnp.asarray(b)
 
     B, N, C = 1, twl._TILE * 2, 256
