@@ -147,16 +147,21 @@ def layer_norm(p: Params, x: jax.Array, eps: float = 1e-6) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-# Phi(x) ~ 0.5 + x * P(x^2): odd weighted-LSQ fit on [-4, 4]; max |gelu err|
-# 5e-4 — below bf16 output rounding (~4e-3 relative on O(1) activations).
+# Phi(x) ~ 0.5 + x * P(x^2): odd minimax fit on [-4, 4] with the endpoints
+# PINNED to phi(+-4) = 1/0 exactly, so no output clip is needed (the clipped
+# input t = +-4 then yields gelu(x) = x or 0 for any |x| > 4, and the fit's
+# excursion outside [0, 1] is < 2.6e-5). Max |gelu err| 5.7e-4 — below bf16
+# output rounding (~4e-3 relative on O(1) activations). The two dropped
+# clamp ops matter: the decode tail evaluates ~400M GELUs per 128-candidate
+# chunk and the VPU chain is on its critical path.
 _PHI_COEF = (
-    0.39855776275783333,
-    -0.06546097000813282,
-    0.009158315168214496,
-    -0.0008905877453283454,
-    5.559049643534051e-05,
-    -1.971194304145214e-06,
-    2.9860408138662485e-08,
+    0.3988655684219049,
+    -0.06549521524440009,
+    0.00915741119509791,
+    -0.0008908471655209013,
+    5.561942806489455e-05,
+    -1.968709803084503e-06,
+    2.967939450354871e-08,
 )
 
 
@@ -169,7 +174,7 @@ def gelu_poly(x: jax.Array) -> jax.Array:
     p = jnp.full_like(t, _PHI_COEF[-1])
     for c in _PHI_COEF[-2::-1]:
         p = p * t2 + c
-    phi = jnp.clip(0.5 + t * p, 0.0, 1.0)
+    phi = 0.5 + t * p  # endpoint-pinned fit: already in [0, 1] +- 2.6e-5
     return x * phi
 
 
