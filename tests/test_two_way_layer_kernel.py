@@ -88,6 +88,46 @@ def test_store_indexed_decode_matches_gather(full_size_layer, rng):
     np.testing.assert_allclose(np.asarray(iou_idx), np.asarray(iou_ref), atol=2e-4, rtol=2e-4)
 
 
+def test_two_way_layer_fused_candidate_grouping(full_size_layer, rng):
+    """B=8 engages the G=4 candidate-grouping path (grid B/G): the batched
+    token stages and the block-diagonal cross-candidate masking must be
+    exactly per-candidate — every candidate's outputs match a B=1 run of the
+    same kernel on its own (distinct) keys/tokens."""
+    cfg, p = full_size_layer
+    lp = p["layers"][0]
+    B, N, C = 8, twl._TILE, 256
+
+    keys = jnp.asarray(rng.standard_normal((B, N, C)).astype(np.float32) * 0.5)
+    tokens = jnp.asarray(rng.standard_normal((B, 6, C)).astype(np.float32) * 0.5)
+    key_pe = jnp.asarray(rng.standard_normal((1, N, C)).astype(np.float32) * 0.5)
+    kpe = _matmul_nobias(lp["cross_attn_t2i"]["k_proj"], key_pe)[0]
+    qpe_img = _matmul_nobias(lp["cross_attn_i2t"]["q_proj"], key_pe)[0]
+
+    q_g, k_g = twl.two_way_layer_fused(
+        lp, tokens, tokens, keys, kpe, qpe_img, cfg.num_heads, skip_pe=False
+    )
+    for b in (0, 3, 7):  # first/mid/last positions within and across groups
+        q_1, k_1 = twl.two_way_layer_fused(
+            lp, tokens[b : b + 1], tokens[b : b + 1], keys[b : b + 1],
+            kpe, qpe_img, cfg.num_heads, skip_pe=False,
+        )
+        np.testing.assert_allclose(
+            np.asarray(q_g[b : b + 1]), np.asarray(q_1), atol=2e-4, rtol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(k_g[b : b + 1]), np.asarray(k_1), atol=2e-4, rtol=2e-4
+        )
+
+    # store-indexed variant at the same G: permuted gather through the group
+    idx = jnp.asarray(np.array([5, 2, 7, 0, 1, 6, 3, 4], np.int32))
+    q_s, k_s = twl.two_way_layer_fused(
+        lp, tokens[idx], tokens[idx], keys, kpe, qpe_img, cfg.num_heads,
+        skip_pe=False, keys_idx=idx,
+    )
+    np.testing.assert_allclose(np.asarray(q_s), np.asarray(q_g[idx]), atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(k_s), np.asarray(k_g[idx]), atol=2e-4, rtol=2e-4)
+
+
 def test_two_way_layer_fused_per_head_softmax_stability(full_size_layer, rng):
     """The i2t softmax shift must be PER HEAD (round-2 advice): with a
     global max, a head whose entire logit block sits ~88+ below another
