@@ -7,7 +7,12 @@ from cor_tpu.parallel.mesh import (
     replicated,
     shard_batch,
 )
-from cor_tpu.parallel.sharding import opt_state_sharding_tree, shard_opt_state
+from cor_tpu.parallel.sharding import (
+    opt_state_sharding_tree,
+    param_sharding_rules,
+    shard_opt_state,
+    shard_params,
+)
 
 __all__ = [
     "DATA_AXIS",
@@ -18,5 +23,7 @@ __all__ = [
     "replicated",
     "shard_batch",
     "opt_state_sharding_tree",
+    "param_sharding_rules",
     "shard_opt_state",
+    "shard_params",
 ]

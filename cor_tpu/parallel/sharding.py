@@ -1,11 +1,24 @@
-"""Optimizer-state sharding (ZeRO-1 analog).
+"""Parameter and optimizer-state sharding rules.
 
-The reference optionally shards optimizer state via DeepSpeed
-(reference: my_train_a.py:208-213, trainer_v3_g.py:128-131). The TPU-native
-equivalent: place each optimizer-state leaf with its first axis partitioned
-over the mesh's `data` axis when divisible (Adam moments dominate optimizer
-memory; frozen leaves already carry NO state thanks to optax.masked).
-XLA inserts the all-gathers where the update needs full leaves.
+The reference distributes only via Accelerate DDP/DeepSpeed over NCCL
+(reference: my_train_a.py:69,198-222) — pure data parallelism plus optional
+DeepSpeed optimizer-state sharding. The TPU-native equivalents here:
+
+- ZeRO-1 analog (`shard_opt_state`): each optimizer-state leaf's first axis
+  partitioned over the mesh's `data` axis when divisible (Adam moments
+  dominate optimizer memory; frozen leaves already carry NO state thanks to
+  optax.masked). XLA inserts the all-gathers where the update needs full
+  leaves.
+- Tensor parallelism (`param_sharding_rules`) — NEW capability the reference
+  has no analog of, for the large towers (SigLIP SO400M / sam_huge):
+  Megatron-style column/row pairs over the mesh's `model` axis. A column
+  split (fc1 / fused-qkv: last axis) makes each chip compute its slice of
+  heads / hidden units; the matching row split (fc2 / out-proj: first axis)
+  contracts the sharded axis so GSPMD inserts ONE reduce (psum over ICI) per
+  block instead of resharding activations. Everything is expressed as
+  `NamedSharding` placement only — computation follows data under pjit, so
+  correctness is placement-independent and the rules never change numerics
+  (tests pin TP == replicated to float tolerance).
 """
 
 from __future__ import annotations
@@ -14,7 +27,60 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from cor_tpu.parallel.mesh import DATA_AXIS
+from cor_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+# (path-suffix, split) pairs for tensor parallelism. COL shards the LAST
+# axis (and the matching bias); ROW shards the FIRST axis (bias replicated —
+# it adds after the contraction's psum). Matches every transformer tower in
+# the model family (SigLIP vision/text + MAP attn_pool, SAM ViT encoder,
+# two-way decoder): see the param trees in models/siglip.py,
+# models/sam_encoder.py, models/sam_decoder.py.
+_COL_W = (
+    "['mlp']['lin1']['w']",
+    "['attn']['qkv']['w']",
+    "['q_proj']['w']",
+    "['k_proj']['w']",
+    "['v_proj']['w']",
+    "['attn_pool']['q']['w']",
+    "['attn_pool']['kv']['w']",
+)
+_COL_B = tuple(s.replace("['w']", "['b']") for s in _COL_W)
+_ROW_W = (
+    "['mlp']['lin2']['w']",
+    "['attn']['proj']['w']",
+    "['out_proj']['w']",
+    "['attn_pool']['proj']['w']",
+)
+
+
+def param_sharding_rules(mesh: Mesh, params):
+    """Pytree of NamedShardings implementing tensor parallelism over the
+    mesh's `model` axis (Megatron column/row pairs); replicated where the
+    pattern doesn't match or the axis doesn't divide.
+
+    With mesh model=1 every spec degenerates to replicated — the parity
+    mode. Use together with `shard_batch` (data axis) for 2-D dp x tp.
+    """
+    m = mesh.shape[MODEL_AXIS]
+
+    def spec(path, leaf):
+        s = jax.tree_util.keystr(path)
+        shape = np.shape(leaf)
+        if m > 1 and shape:
+            if s.endswith(_COL_W) and len(shape) == 2 and shape[1] % m == 0:
+                return NamedSharding(mesh, P(None, MODEL_AXIS))
+            if s.endswith(_COL_B) and len(shape) == 1 and shape[0] % m == 0:
+                return NamedSharding(mesh, P(MODEL_AXIS))
+            if s.endswith(_ROW_W) and len(shape) == 2 and shape[0] % m == 0:
+                return NamedSharding(mesh, P(MODEL_AXIS, None))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def shard_params(mesh: Mesh, params):
+    """Place params across the mesh per `param_sharding_rules`."""
+    return jax.tree.map(jax.device_put, params, param_sharding_rules(mesh, params))
 
 
 def opt_state_sharding_tree(mesh: Mesh, opt_state):
