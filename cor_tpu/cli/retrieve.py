@@ -36,6 +36,13 @@ def main(argv=None):
     )
     parser.add_argument("--batch-size", type=int, default=0, help="override config batch size")
     parser.add_argument(
+        "--gallery-index",
+        default=None,
+        metavar="DIR",
+        help="serve against a prebuilt cor_tpu.cli.index artifact instead of "
+        "re-encoding the gallery (queries still encoded live)",
+    )
+    parser.add_argument(
         "--dump-top1",
         action="store_true",
         help="also decode + report the top-1 candidate mask shape per query",
@@ -53,7 +60,11 @@ def main(argv=None):
     from cor_tpu.data.pipeline import CORDataset, DataLoader, SyntheticDataset
     from cor_tpu.models.core_model import init_core_model
     from cor_tpu.parallel import make_mesh
-    from cor_tpu.retrieval.protocol import encode_manifest, evaluate_retrieval
+    from cor_tpu.retrieval.protocol import (
+        encode_manifest,
+        evaluate_retrieval,
+        evaluate_retrieval_with_index,
+    )
     from cor_tpu.utils.convert import load_sam_weights, load_siglip_weights
 
     cfg = load_eval_config(args.config)
@@ -109,7 +120,14 @@ def main(argv=None):
     loader = DataLoader(ds, batch_size, num_workers=cfg.num_workers)
 
     ks = tuple(k for k in (1, 5, 10) if k <= args.k) or (1,)
-    result = evaluate_retrieval(core_cfg, params, loader, mesh, ks=ks)
+    if args.gallery_index:
+        from cor_tpu.retrieval.index import load_gallery_index
+
+        result = evaluate_retrieval_with_index(
+            core_cfg, params, loader, mesh, load_gallery_index(args.gallery_index), ks=ks
+        )
+    else:
+        result = evaluate_retrieval(core_cfg, params, loader, mesh, ks=ks)
 
     if args.dump_top1:
         from cor_tpu.retrieval.engine import RetrievalEngine

@@ -112,3 +112,73 @@ def build_gallery(
     gallery = np.concatenate(embs, axis=0)
     images = np.concatenate(img_embs, axis=0) if keep_image_embeddings else None
     return gallery, images
+
+
+# ---------------------------------------------------------------------------
+# Persistent gallery-index artifact (serving: build once, retrieve many).
+# The reference has no retrieval engine at all (SURVEY.md §0 — Recall@K is an
+# offline script over dumped masks); this is the deployment-side half of the
+# north-star capability: `cor_tpu.cli.index` encodes a manifest's candidates
+# ONCE into an on-disk artifact, and `cor_tpu.cli.retrieve --gallery-index`
+# serves queries against it without re-encoding the gallery.
+# ---------------------------------------------------------------------------
+
+_INDEX_VERSION = 1
+
+
+def save_gallery_index(
+    path,
+    embeddings: np.ndarray,  # [G, D] fp32, L2-normed rows
+    pair_ids: np.ndarray,  # [G] manifest pair ids
+    image_embeddings: Optional[np.ndarray] = None,  # [G, g, g, C] for decode
+) -> None:
+    """Write a directory artifact: embeddings.npy + pair_ids.npy
+    (+ store.npy fp16 when the SAM image embeddings are kept for mask
+    decode — fp16 halves disk/IO; the decode path computes in bf16 anyway)
+    + meta.json. Plain .npy files so the store loads memory-mapped: a
+    COR127K-scale store is ~2 GB per 1k candidates and must not be read
+    eagerly."""
+    import json as _json
+    from pathlib import Path as _Path
+
+    d = _Path(path)
+    d.mkdir(parents=True, exist_ok=True)
+    np.save(d / "embeddings.npy", np.ascontiguousarray(embeddings, np.float32))
+    np.save(d / "pair_ids.npy", np.ascontiguousarray(pair_ids, np.int64))
+    meta = {
+        "version": _INDEX_VERSION,
+        "rows": int(embeddings.shape[0]),
+        "dim": int(embeddings.shape[1]),
+        "has_store": image_embeddings is not None,
+    }
+    if image_embeddings is not None:
+        np.save(d / "store.npy", np.ascontiguousarray(image_embeddings, np.float16))
+        meta["store_shape"] = [int(s) for s in image_embeddings.shape]
+    (d / "meta.json").write_text(_json.dumps(meta))
+
+
+def load_gallery_index(path) -> Dict[str, np.ndarray]:
+    """Load an artifact written by save_gallery_index. Returns
+    {"embeddings", "pair_ids", "store" (mmap'd fp16 or None)}. Fails fast on
+    a missing/foreign directory (the same hard-fail convention as explicit
+    checkpoint paths, cor_tpu/cli/train.py)."""
+    import json as _json
+    from pathlib import Path as _Path
+
+    d = _Path(path)
+    meta_p = d / "meta.json"
+    if not meta_p.exists():
+        raise FileNotFoundError(f"gallery index {d} has no meta.json — not an index artifact")
+    meta = _json.loads(meta_p.read_text())
+    if meta.get("version") != _INDEX_VERSION:
+        raise ValueError(f"gallery index version {meta.get('version')} != {_INDEX_VERSION}")
+    out = {
+        "embeddings": np.load(d / "embeddings.npy"),
+        "pair_ids": np.load(d / "pair_ids.npy"),
+        "store": None,
+    }
+    if meta.get("has_store"):
+        out["store"] = np.load(d / "store.npy", mmap_mode="r")
+    if out["embeddings"].shape[0] != meta["rows"]:
+        raise ValueError("gallery index corrupt: row count mismatch with meta.json")
+    return out

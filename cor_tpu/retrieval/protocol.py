@@ -93,3 +93,60 @@ def evaluate_retrieval(
     out = recall_at_k(retrieved, targets, ks=[k for k in ks if k <= g])
     out["gallery_size"] = float(g)
     return out
+
+
+def evaluate_retrieval_with_index(
+    cfg: CoreConfig,
+    params,
+    loader: Iterable[Dict[str, np.ndarray]],
+    mesh,
+    index: Dict[str, np.ndarray],
+    ks: Tuple[int, ...] = (1, 5, 10),
+    query_batch: int = 256,
+) -> Dict[str, float]:
+    """Serving-mode protocol: queries encoded live, gallery loaded from a
+    prebuilt ``cor_tpu.cli.index`` artifact (no candidate re-encoding).
+
+    Each query's target row is located by its manifest pair id in the
+    index's pair_ids (NOT by loader position — the index may be built from a
+    superset manifest or a different row order). Queries whose pair id is
+    absent from the index raise: that is a mismatched artifact, the same
+    hard-fail convention as explicit checkpoint paths.
+    """
+    encode_query = make_query_encoder(cfg)
+    queries, qids = [], []
+    for b in loader:
+        q = encode_query(
+            params,
+            jnp.asarray(b["support_img"]),
+            jnp.asarray(b["text"]),
+            jnp.asarray(b["support_mask"]),
+        )
+        queries.append(np.asarray(q))
+        qids.append(np.asarray(b["pair_id"]))
+    queries = np.concatenate(queries, axis=0)
+    qids = np.concatenate(qids, axis=0)
+
+    pos = {int(p): i for i, p in enumerate(index["pair_ids"])}
+    missing = [int(p) for p in qids if int(p) not in pos]
+    if missing:
+        raise ValueError(
+            f"{len(missing)} query pair ids absent from the gallery index "
+            f"(first: {missing[:5]}) — index/manifest mismatch"
+        )
+    targets = np.asarray([pos[int(p)] for p in qids])
+
+    gallery = np.asarray(index["embeddings"], np.float32)
+    g = gallery.shape[0]
+    k_max = min(max(ks), g)
+    engine = RetrievalEngine(mesh, k=k_max)
+    engine.set_gallery(gallery)
+    queries = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
+    retrieved = []
+    for s in range(0, queries.shape[0], query_batch):
+        _, idx = engine.retrieve(jnp.asarray(queries[s : s + query_batch]))
+        retrieved.append(np.asarray(idx))
+    retrieved = np.concatenate(retrieved, axis=0)
+    out = recall_at_k(retrieved, targets, ks=[k for k in ks if k <= g])
+    out["gallery_size"] = float(g)
+    return out

@@ -161,3 +161,69 @@ def test_sharded_retrieve_approx_mode(rng):
     ei, ai = np.asarray(ei), np.asarray(ai)
     overlap = np.mean([len(set(ei[i]) & set(ai[i])) / 10 for i in range(8)])
     assert overlap >= 0.9
+
+
+def test_gallery_index_build_save_load_serve(key, tmp_path):
+    """Persistent gallery index: cli.index's build -> save -> load -> serve
+    path gives EXACTLY the recalls of the one-pass protocol (same manifest),
+    survives a permuted query order (pair-id join, not positional), and
+    hard-fails on a foreign directory / mismatched pair ids."""
+    import pytest
+
+    from cor_tpu.cli.index import build_index
+    from cor_tpu.data.pipeline import DataLoader, SyntheticDataset
+    from cor_tpu.retrieval.index import load_gallery_index, save_gallery_index
+    from cor_tpu.retrieval.protocol import evaluate_retrieval, evaluate_retrieval_with_index
+
+    cfg = tiny_core_config()
+    params = init_core_model(key, cfg)
+    mesh = make_mesh()
+    ds = SyntheticDataset(
+        length=10, query_img_size=64, support_img_size=32,
+        context_length=8, vocab_size=64, seed=5,
+    )
+
+    emb, ids, store = build_index(
+        cfg, params, DataLoader(ds, batch_size=4), with_store=True
+    )
+    assert emb.shape == (10, 16) and store.shape[0] == 10
+    save_gallery_index(tmp_path / "idx", emb, ids, image_embeddings=store)
+    idx = load_gallery_index(tmp_path / "idx")
+    np.testing.assert_allclose(idx["embeddings"], emb, rtol=1e-6)
+    np.testing.assert_array_equal(idx["pair_ids"], ids)
+    assert idx["store"].dtype == np.float16  # mmap'd fp16 store
+
+    r_idx = evaluate_retrieval_with_index(
+        cfg, params, DataLoader(ds, batch_size=4), mesh, idx, ks=(1, 5, 10)
+    )
+    r_ref = evaluate_retrieval(cfg, params, DataLoader(ds, batch_size=4), mesh, ks=(1, 5, 10))
+    assert r_idx == r_ref
+
+    # pair-id join (not positional): the SAME gallery rows saved in
+    # REVERSED order must give identical recalls. The tiny random model maps
+    # distinct triplets to near-identical embeddings, so break score ties
+    # with a deterministic per-row nudge before saving both orders (ties at
+    # the top-k boundary are otherwise legitimately order-dependent).
+    emb_p = emb + 0.05 * np.random.default_rng(3).standard_normal(emb.shape).astype(np.float32)
+    emb_p /= np.linalg.norm(emb_p, axis=1, keepdims=True)
+    save_gallery_index(tmp_path / "idx_fwd", emb_p, ids, image_embeddings=None)
+    save_gallery_index(tmp_path / "idx_rev", emb_p[::-1], ids[::-1], image_embeddings=None)
+    r_fwd = evaluate_retrieval_with_index(
+        cfg, params, DataLoader(ds, batch_size=4), mesh,
+        load_gallery_index(tmp_path / "idx_fwd"), ks=(1, 5, 10),
+    )
+    r_rev = evaluate_retrieval_with_index(
+        cfg, params, DataLoader(ds, batch_size=4), mesh,
+        load_gallery_index(tmp_path / "idx_rev"), ks=(1, 5, 10),
+    )
+    assert r_fwd == r_rev
+
+    # failure modes: foreign dir, mismatched pair ids
+    with pytest.raises(FileNotFoundError):
+        load_gallery_index(tmp_path)  # no meta.json
+    bad = dict(idx)
+    bad["pair_ids"] = idx["pair_ids"] + 1000
+    with pytest.raises(ValueError, match="absent from the gallery index"):
+        evaluate_retrieval_with_index(
+            cfg, params, DataLoader(ds, batch_size=4), mesh, bad, ks=(1,)
+        )
