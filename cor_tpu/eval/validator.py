@@ -241,9 +241,12 @@ def val_metric(
                 log.warning(f"val_metric: skipping sample {sample_idx} ({e})")
             sample_idx += 1
 
-    fields = list(rows[0].keys()) if rows else ["Id"]
+    # ordered union of row keys: the per-row meta join can yield differing
+    # key sets (a pair id missing from the manifest skips its meta columns),
+    # and DictWriter raises on keys absent from fieldnames
+    fields = list(dict.fromkeys(k for r in rows for k in r)) if rows else ["Id"]
     with open(csv_path, "w", newline="") as f:
-        writer = csv.DictWriter(f, fieldnames=fields)
+        writer = csv.DictWriter(f, fieldnames=fields, restval="")
         writer.writeheader()
         writer.writerows(rows)
 
