@@ -51,6 +51,11 @@ from cor_tpu.ops.common import (
 )
 
 
+# opt-in whole-stack decode fusion (see the negative-result note at the use
+# site in two_way_transformer; flip for re-measuring on newer Mosaic)
+STACK_FUSED = False
+
+
 @dataclass(frozen=True)
 class TwoWayTransformerConfig:
     depth: int = 2
@@ -238,6 +243,29 @@ def two_way_transformer(
         and point_embedding.shape[1] <= _TOK_PAD
         and C % cfg.num_heads == 0
     )
+
+    if layer_fused and len(p["layers"]) == 2 and STACK_FUSED:
+        # whole-stack fusion: both layers + final t2i + norm_final in ONE
+        # kernel — keys cross HBM once in, once out. MEASURED NEGATIVE
+        # (round 3, defaults OFF): 4.4 ms vs 3.9 ms for the per-layer
+        # kernels on a 128-candidate chunk despite half the HBM traffic —
+        # Mosaic's per-step cost grows super-linearly with kernel body size
+        # (2x the layer body costs ~2.4x its compute; VMEM-value tiles and a
+        # fixed scratch ref measure the same), overwhelming the saved DMA
+        # (2 MB/candidate/boundary at the chip's measured ~410 GB/s stream
+        # rate). Kept opt-in for future Mosaic versions.
+        from cor_tpu.ops.pallas.two_way_layer import two_way_stack_fused
+
+        kpe_layers, qpe_layers = [], []
+        for lp in p["layers"]:
+            kpe_layers.append(_matmul_nobias(lp["cross_attn_t2i"]["k_proj"], key_pe)[0])
+            qpe_layers.append(_matmul_nobias(lp["cross_attn_i2t"]["q_proj"], key_pe)[0])
+        kpe_f = _matmul_nobias(p["final_attn_t2i"]["k_proj"], key_pe)[0]
+        queries, keys = two_way_stack_fused(
+            p, queries, query_pe, keys, kpe_layers, qpe_layers, kpe_f,
+            cfg.num_heads, keys_idx=store_idx,
+        )
+        return queries, keys
 
     for i, lp in enumerate(p["layers"]):
         if layer_fused:

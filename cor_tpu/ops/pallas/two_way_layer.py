@@ -1,4 +1,4 @@
-"""Pallas TPU kernel: one ENTIRE two-way transformer layer per grid step.
+"""Pallas TPU kernels: fused two-way transformer layers (and the whole stack).
 
 Reference dataflow (lib/sam_model/transformer.py:151-182, one
 TwoWayAttentionBlock): token self-attention -> token->image cross-attention
@@ -7,9 +7,23 @@ TwoWayAttentionBlock): token self-attention -> token->image cross-attention
 The decode hot path runs this over [B, 4096, 256] image activations per
 retrieved candidate. The round-1 kernels (t2i_flash, i2t_attention) fused the
 two cross-attentions separately, but `keys` still made ~4 HBM round trips per
-layer and q_img one more. Here the whole layer is ONE kernel with grid
-(B/G,): each step loads G candidates' keys into VMEM once, runs every stage
-of the layer — including all token-side ops — and writes keys back once.
+layer and q_img one more. `two_way_layer_fused` makes the whole layer ONE
+kernel with grid (B/G,): each step loads G candidates' keys into VMEM once,
+runs every stage of the layer — including all token-side ops — and writes
+keys back once.
+
+`two_way_stack_fused` goes further: BOTH layers + the final token->image
+attention + norm_final in a single kernel, so each candidate's keys cross HBM
+exactly once in (store read) and once out (for the upscale tail). Measured
+motivation (round 3): a pure COPY kernel with the per-layer kernel's block
+structure costs the same wall time as the full layer kernel — every GEMM
+ablation (packed img projection, o2, flash logit/AV) moves end-to-end time
+<3%. The per-layer kernels are DMA-bound, not compute-bound, so the only
+remaining lever is keys traffic, which stacking cuts from 5 HBM passes
+(l1 RW, l2 RW, final read) to 2. [The round-2 "whole-transformer fusion is
+20% slower" negative result predates the scoped-VMEM raise: it ran under the
+16 MB default and had to shrink row tiles to 512; with the 100 MB budget the
+stack keeps TILE=1024 and G=4.]
 
 CANDIDATE GROUPING (G): the token-side GEMMs are [8, 256]-shaped — an MXU
 pass streams the full [K, N] weight block regardless of M, so M=8 wastes
@@ -22,7 +36,7 @@ constants are block-diagonal over candidates, and the two cross-attentions
 slice per-candidate row blocks (sublane-aligned, HT=64). VMEM for the G keys
 blocks exceeds the 16 MB default scoped budget — the chip has 128 MB
 physical VMEM (probed: a 96 MB scratch kernel compiles and runs), so the
-kernel raises `vmem_limit_bytes` accordingly.
+kernels raise `vmem_limit_bytes` accordingly.
 
 Token-side per-head attention without reshapes/transposes (Mosaic rejects
 lane-crossing reshapes): the (candidate, head, token) triples are unrolled
@@ -66,6 +80,33 @@ _T = 8  # padded token count (6 real: iou + 4 mask + 1 prompt)
 _TILE = 1024
 _GROUP = 4  # candidates per grid step (token-GEMM amortization factor)
 
+# VMEM ref bundles (ordering contract between the arg builders and kernels)
+_LAYER_REF_NAMES = (
+    # shared image-side constants (same block every step -> fetched once)
+    "kpe",  # [N, I] t2i.k_proj(key_pe), no bias
+    "qpe_img",  # [N, I] i2t.q_proj(key_pe), no bias
+    "w_img",  # [C, 3I] packed (t2i.k | t2i.v | i2t.q) image projections
+    "b_img",  # [1, 3I]
+    # token self-attention (full dim C, head_dim C/H)
+    "wq_s", "bq_s", "wk_s", "bk_s", "wv_s", "bv_s", "wo_s", "bo_s",
+    # layer norms
+    "ln1_s", "ln1_b", "ln2_s", "ln2_b", "ln3_s", "ln3_b", "ln4_s", "ln4_b",
+    # t2i token query + output projection
+    "wq_t", "bq_t", "wo_t", "bo_t",
+    # token MLP
+    "w1", "b1", "w2", "b2",
+    # i2t token key/value + output projection
+    "wk_i", "bk_i", "wv_i", "bv_i", "wo_i", "bo_i",
+)
+_FINAL_REF_NAMES = (
+    "kpe_f",  # [N, I] final.k_proj(key_pe), no bias
+    "wkv_f",  # [C, 2I] packed (final.k | final.v) image projections
+    "bkv_f",  # [1, 2I]
+    "wq_f", "bq_f", "wo_f", "bo_f",  # token query + output projection
+    "nf_s", "nf_b",  # norm_final
+)
+_CONST_REF_NAMES = ("sel", "selt", "mask_c", "mask_i", "pb_tok", "pb_ht", "g")
+
 
 def _ln_rows(z: jax.Array, scale, bias, eps: float) -> jax.Array:
     """Lane-wise LayerNorm over the channel axis (fp32 in/out)."""
@@ -87,56 +128,29 @@ def _dot_t(a, b):
     )
 
 
-def _kernel(
-    tokens_ref,  # [G, T, C] current token state
-    qpe_tok_ref,  # [G, T, C] token positional prompts (the initial tokens)
-    *refs,
+def _layer_body(
+    x_tok: jax.Array,  # [G*T, C] fp32 current token state
+    qpe_t: jax.Array,  # [G*T, C] fp32 token positional prompts
+    w: dict,  # _LAYER_REF_NAMES -> VMEM refs
+    consts: dict,  # _CONST_REF_NAMES -> VMEM refs
+    read_rows,  # (c, i) -> [TILE, C] current keys tile (dtype dt)
+    write_rows,  # (c, i, z_fp32) -> stores the layer's updated keys tile
+    *,
     G: int,
+    n_tiles: int,
     skip_pe: bool,
     eps: float,
     self_scale: float,
     cross_scale: float,
-):
-    keys_refs = refs[:G]  # G x [1, N, C] per-candidate image activations
-    (
-        # shared image-side constants (same block every step -> fetched once)
-        kpe_ref,  # [N, I] t2i.k_proj(key_pe), no bias
-        qpe_img_ref,  # [N, I] i2t.q_proj(key_pe), no bias
-        w_img_ref,  # [C, 3I] packed (t2i.k | t2i.v | i2t.q) image projections
-        b_img_ref,  # [1, 3I]
-        # token self-attention (full dim C, head_dim 32)
-        wq_s_ref, bq_s_ref, wk_s_ref, bk_s_ref, wv_s_ref, bv_s_ref, wo_s_ref, bo_s_ref,
-        # layer norms
-        ln1_s_ref, ln1_b_ref, ln2_s_ref, ln2_b_ref, ln3_s_ref, ln3_b_ref, ln4_s_ref, ln4_b_ref,
-        # t2i token query + output projection
-        wq_t_ref, bq_t_ref, wo_t_ref, bo_t_ref,
-        # token MLP
-        w1_ref, b1_ref, w2_ref, b2_ref,
-        # i2t token key/value + output projection
-        wk_i_ref, bk_i_ref, wv_i_ref, bv_i_ref, wo_i_ref, bo_i_ref,
-        # constants (candidate-block-diagonal where marked)
-        sel_ref,  # [G*HT, G*T] head-unroll selector, block-diag over candidates
-        selt_ref,  # [G*T, G*HT] head collapse
-        mask_c_ref,  # [G*HT, C] per-head lane mask, head_dim C/H
-        mask_i_ref,  # [G*HT, I] per-head lane mask, head_dim I/H
-        pb_tok_ref,  # [G*HT, G*T] -1e30 at cross-candidate / padded columns
-        pb_ht_ref,  # [1, HT] -1e30 at (h, padded token) columns
-        g_ref,  # [HT, HT] block-diag ones (per-head softmax normalizer)
-        # outputs
-        keys_out_ref,  # [G, N, C]
-        tokens_out_ref,  # [G, T, C]
-    ) = refs[G:]
-
-    dt = keys_refs[0].dtype
-    C = tokens_ref.shape[2]
-    GT = G * _T
-    x_tok = tokens_ref[...].reshape(GT, C).astype(jnp.float32)  # [G*T, C]
-    qpe_t = qpe_tok_ref[...].reshape(GT, C).astype(jnp.float32)
-    sel = sel_ref[:]
-    selt = selt_ref[:]
-    mask_c = mask_c_ref[:]
-    mask_i = mask_i_ref[:]
-    g = g_ref[:]
+    dt,
+) -> jax.Array:
+    """One TwoWayAttentionBlock over VMEM-resident operands; returns the new
+    token state and emits updated keys tiles through ``write_rows``."""
+    sel = consts["sel"][:]
+    selt = consts["selt"][:]
+    mask_c = consts["mask_c"][:]
+    mask_i = consts["mask_i"][:]
+    g = consts["g"][:]
     GHT = sel.shape[0]
     HT = GHT // G
 
@@ -146,31 +160,29 @@ def _kernel(
     #    cross-candidate logits before the softmax
     # ------------------------------------------------------------------
     qin = x_tok if skip_pe else x_tok + qpe_t
-    q_s = (_dot(qin.astype(dt), wq_s_ref[:]) + bq_s_ref[:]) * self_scale
-    k_s = _dot(qin.astype(dt), wk_s_ref[:]) + bk_s_ref[:]
-    v_s = _dot(x_tok.astype(dt), wv_s_ref[:]) + bv_s_ref[:]
+    q_s = (_dot(qin.astype(dt), w["wq_s"][:]) + w["bq_s"][:]) * self_scale
+    k_s = _dot(qin.astype(dt), w["wk_s"][:]) + w["bk_s"][:]
+    v_s = _dot(x_tok.astype(dt), w["wv_s"][:]) + w["bv_s"][:]
     qblk = (_dot(sel, q_s.astype(dt)) * mask_c).astype(dt)  # [G*HT, C]
-    l_s = _dot_t(qblk, k_s.astype(dt)) + pb_tok_ref[:]  # [G*HT, G*T]
+    l_s = _dot_t(qblk, k_s.astype(dt)) + consts["pb_tok"][:]  # [G*HT, G*T]
     e_s = jnp.exp(l_s - jnp.max(l_s, axis=-1, keepdims=True))
     a_s = (e_s / jnp.sum(e_s, axis=-1, keepdims=True)).astype(dt)
     av_s = _dot(a_s, v_s.astype(dt))  # [G*HT, C] full-lane per (g, h, t) rows
     sa = _dot(selt, (av_s * mask_c).astype(dt))  # [G*T, C] head collapse
-    sa = _dot(sa.astype(dt), wo_s_ref[:]) + bo_s_ref[:]
+    sa = _dot(sa.astype(dt), w["wo_s"][:]) + w["bo_s"][:]
     x_tok = sa if skip_pe else x_tok + sa
-    x_tok = _ln_rows(x_tok, ln1_s_ref[:], ln1_b_ref[:], eps)
+    x_tok = _ln_rows(x_tok, w["ln1_s"][:], w["ln1_b"][:], eps)
 
     # ------------------------------------------------------------------
     # 2) token -> image cross-attention over row tiles (flash accumulation);
     #    the q projection + head unroll run batched, the tile streaming runs
     #    per candidate (each candidate attends only to its own keys)
     # ------------------------------------------------------------------
-    q_t = (_dot((x_tok + qpe_t).astype(dt), wq_t_ref[:]) + bq_t_ref[:]) * cross_scale
+    q_t = (_dot((x_tok + qpe_t).astype(dt), w["wq_t"][:]) + w["bq_t"][:]) * cross_scale
     qblk_t = (_dot(sel, q_t.astype(dt)) * mask_i).astype(dt)  # [G*HT, I]
 
-    n_rows = keys_refs[0].shape[1]
-    n_tiles = n_rows // _TILE
-    kv_w = w_img_ref[:]
-    kv_b = b_img_ref[:]
+    kv_w = w["w_img"][:]
+    kv_b = w["b_img"][:]
     I = mask_i.shape[1]
     q_img_tiles = [[None] * n_tiles for _ in range(G)]
     t2i_blks = []
@@ -180,12 +192,12 @@ def _kernel(
         d_acc = jnp.zeros((HT, 1), jnp.float32)
         av_acc = jnp.zeros((HT, I), jnp.float32)
         for i in range(n_tiles):
-            rows = keys_refs[c][0, pl.ds(i * _TILE, _TILE), :]  # [TILE, C] bf16
+            rows = read_rows(c, i)  # [TILE, C] dt
             imgp = _dot(rows, kv_w) + kv_b  # [TILE, 3I] fp32
-            k_t = (imgp[:, :I] + kpe_ref[pl.ds(i * _TILE, _TILE), :]).astype(dt)
+            k_t = (imgp[:, :I] + w["kpe"][pl.ds(i * _TILE, _TILE), :]).astype(dt)
             v_t = imgp[:, I : 2 * I].astype(dt)
             q_img_tiles[c][i] = (
-                imgp[:, 2 * I :] + qpe_img_ref[pl.ds(i * _TILE, _TILE), :]
+                imgp[:, 2 * I :] + w["qpe_img"][pl.ds(i * _TILE, _TILE), :]
             ).astype(dt)
             l_t = _dot_t(qb_c, k_t)  # [HT, TILE]
             m_new = jnp.maximum(m_acc, jnp.max(l_t, axis=-1, keepdims=True))
@@ -197,26 +209,25 @@ def _kernel(
         t2i_blks.append(av_acc / d_acc)  # [HT, I]
     t2i_blk = jnp.concatenate(t2i_blks, axis=0)  # [G*HT, I]
     t2i_out = _dot(selt, (t2i_blk * mask_i).astype(dt))  # [G*T, I]
-    x_tok = x_tok + _dot(t2i_out.astype(dt), wo_t_ref[:]) + bo_t_ref[:]
-    x_tok = _ln_rows(x_tok, ln2_s_ref[:], ln2_b_ref[:], eps)
+    x_tok = x_tok + _dot(t2i_out.astype(dt), w["wo_t"][:]) + w["bo_t"][:]
+    x_tok = _ln_rows(x_tok, w["ln2_s"][:], w["ln2_b"][:], eps)
 
     # ------------------------------------------------------------------
     # 3) token MLP (ReLU) + LN3, batched
     # ------------------------------------------------------------------
-    h = jnp.maximum(_dot(x_tok.astype(dt), w1_ref[:]) + b1_ref[:], 0.0)
-    x_tok = x_tok + _dot(h.astype(dt), w2_ref[:]) + b2_ref[:]
-    x_tok = _ln_rows(x_tok, ln3_s_ref[:], ln3_b_ref[:], eps)
-    tokens_out_ref[...] = x_tok.astype(tokens_out_ref.dtype).reshape(G, _T, C)
+    h = jnp.maximum(_dot(x_tok.astype(dt), w["w1"][:]) + w["b1"][:], 0.0)
+    x_tok = x_tok + _dot(h.astype(dt), w["w2"][:]) + w["b2"][:]
+    x_tok = _ln_rows(x_tok, w["ln3_s"][:], w["ln3_b"][:], eps)
 
     # ------------------------------------------------------------------
     # 4) image -> token cross-attention + LN4, tile-local per candidate
     # ------------------------------------------------------------------
-    k_i = _dot((x_tok + qpe_t).astype(dt), wk_i_ref[:]) + bk_i_ref[:]
-    v_i = _dot(x_tok.astype(dt), wv_i_ref[:]) + bv_i_ref[:]
+    k_i = _dot((x_tok + qpe_t).astype(dt), w["wk_i"][:]) + w["bk_i"][:]
+    v_i = _dot(x_tok.astype(dt), w["wv_i"][:]) + w["bv_i"][:]
     kblk = ((_dot(sel, k_i.astype(dt)) * mask_i)).astype(dt)  # [G*HT, I]
     vblk = ((_dot(sel, v_i.astype(dt)) * mask_i)).astype(dt)  # [G*HT, I]
-    wo_i = wo_i_ref[:]
-    bo_i = bo_i_ref[:]
+    wo_i = w["wo_i"][:]
+    bo_i = w["bo_i"][:]
     # Per-head softmax shift (the reference softmax is per-head): a GLOBAL
     # max would underflow e2 to 0 across an entire head whose logits sit
     # ~88+ below another head's max, zeroing its normalizer d2 -> NaN.
@@ -231,24 +242,183 @@ def _kernel(
     # logit range 80 is already a hard one-hot, so this regime is
     # unreachable in practice (the cross-head spread that caused the NaN is
     # handled exactly at ANY magnitude).
-    rl = (pb_ht_ref[:] > -1.0).astype(jnp.float32)  # [1, HT] real-lane mask
+    pb_ht = consts["pb_ht"][:]
+    rl = (pb_ht > -1.0).astype(jnp.float32)  # [1, HT] real-lane mask
     counts = _dot(rl.astype(dt), g.astype(dt))  # [1, HT]: real lanes per head
     for c in range(G):
         kb_c = kblk[c * HT : (c + 1) * HT]
         vb_c = vblk[c * HT : (c + 1) * HT]
         for i in range(n_tiles):
-            q_img = q_img_tiles[c][i]  # [TILE, I] bf16
+            q_img = q_img_tiles[c][i]  # [TILE, I] dt
             l2 = _dot_t((q_img.astype(jnp.float32) * cross_scale).astype(dt), kb_c)
-            l2 = l2 + pb_ht_ref[:]  # [TILE, HT]
+            l2 = l2 + pb_ht  # [TILE, HT]
             m2 = _dot((l2 * rl).astype(dt), g.astype(dt)) / counts  # per-head mean
             e2 = jnp.exp(l2 - m2)
             d2 = _dot(e2.astype(dt), g.astype(dt))  # per-head normalizer
             a2 = (e2 / d2).astype(dt)
             av2 = _dot(a2, vb_c)  # [TILE, I] disjoint per-head lanes
             o2 = _dot(av2.astype(dt), wo_i) + bo_i  # [TILE, C]
-            rows = keys_refs[c][0, pl.ds(i * _TILE, _TILE), :].astype(jnp.float32)
-            z = _ln_rows(rows + o2, ln4_s_ref[:], ln4_b_ref[:], eps)
-            keys_out_ref[c, pl.ds(i * _TILE, _TILE), :] = z.astype(keys_out_ref.dtype)
+            rows = read_rows(c, i).astype(jnp.float32)
+            z = _ln_rows(rows + o2, w["ln4_s"][:], w["ln4_b"][:], eps)
+            write_rows(c, i, z)
+    return x_tok
+
+
+def _final_body(
+    x_tok: jax.Array,  # [G*T, C] fp32 token state after the last layer
+    qpe_t: jax.Array,  # [G*T, C] fp32
+    w: dict,  # _FINAL_REF_NAMES -> VMEM refs
+    consts: dict,
+    read_rows,  # (c, i) -> [TILE, C] final keys tile
+    *,
+    G: int,
+    n_tiles: int,
+    eps: float,
+    cross_scale: float,
+    dt,
+) -> jax.Array:
+    """Final token->image attention + out_proj + residual + norm_final
+    (transformer.py final attn; keys are read-only here)."""
+    sel = consts["sel"][:]
+    selt = consts["selt"][:]
+    mask_i = consts["mask_i"][:]
+    GHT = sel.shape[0]
+    HT = GHT // G
+    I = mask_i.shape[1]
+
+    q_t = (_dot((x_tok + qpe_t).astype(dt), w["wq_f"][:]) + w["bq_f"][:]) * cross_scale
+    qblk_t = (_dot(sel, q_t.astype(dt)) * mask_i).astype(dt)  # [G*HT, I]
+    kv_w = w["wkv_f"][:]
+    kv_b = w["bkv_f"][:]
+    blks = []
+    for c in range(G):
+        qb_c = qblk_t[c * HT : (c + 1) * HT]
+        m_acc = jnp.full((HT, 1), -1e30, jnp.float32)
+        d_acc = jnp.zeros((HT, 1), jnp.float32)
+        av_acc = jnp.zeros((HT, I), jnp.float32)
+        for i in range(n_tiles):
+            rows = read_rows(c, i)
+            imgp = _dot(rows, kv_w) + kv_b  # [TILE, 2I] fp32
+            k_t = (imgp[:, :I] + w["kpe_f"][pl.ds(i * _TILE, _TILE), :]).astype(dt)
+            v_t = imgp[:, I:].astype(dt)
+            l_t = _dot_t(qb_c, k_t)  # [HT, TILE]
+            m_new = jnp.maximum(m_acc, jnp.max(l_t, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_acc - m_new)
+            e_t = jnp.exp(l_t - m_new)
+            av_acc = av_acc * alpha + _dot(e_t.astype(dt), v_t)
+            d_acc = d_acc * alpha + jnp.sum(e_t, axis=-1, keepdims=True)
+            m_acc = m_new
+        blks.append(av_acc / d_acc)
+    blk = jnp.concatenate(blks, axis=0)  # [G*HT, I]
+    out = _dot(selt, (blk * mask_i).astype(dt))  # [G*T, I]
+    x_tok = x_tok + _dot(out.astype(dt), w["wo_f"][:]) + w["bo_f"][:]
+    return _ln_rows(x_tok, w["nf_s"][:], w["nf_b"][:], eps)
+
+
+def _kernel(
+    tokens_ref,  # [G, T, C] current token state
+    qpe_tok_ref,  # [G, T, C] token positional prompts (the initial tokens)
+    *refs,
+    G: int,
+    skip_pe: bool,
+    eps: float,
+    self_scale: float,
+    cross_scale: float,
+):
+    keys_refs = refs[:G]  # G x [1, N, C] per-candidate image activations
+    rest = refs[G:]
+    nL = len(_LAYER_REF_NAMES)
+    w = dict(zip(_LAYER_REF_NAMES, rest[:nL]))
+    consts = dict(zip(_CONST_REF_NAMES, rest[nL : nL + len(_CONST_REF_NAMES)]))
+    keys_out_ref, tokens_out_ref = rest[nL + len(_CONST_REF_NAMES) :]
+
+    dt = keys_refs[0].dtype
+    C = tokens_ref.shape[2]
+    GT = G * _T
+    x_tok = tokens_ref[...].reshape(GT, C).astype(jnp.float32)
+    qpe_t = qpe_tok_ref[...].reshape(GT, C).astype(jnp.float32)
+    n_tiles = keys_refs[0].shape[1] // _TILE
+
+    def read_rows(c, i):
+        return keys_refs[c][0, pl.ds(i * _TILE, _TILE), :]
+
+    def write_rows(c, i, z):
+        keys_out_ref[c, pl.ds(i * _TILE, _TILE), :] = z.astype(keys_out_ref.dtype)
+
+    x_tok = _layer_body(
+        x_tok, qpe_t, w, consts, read_rows, write_rows,
+        G=G, n_tiles=n_tiles, skip_pe=skip_pe, eps=eps,
+        self_scale=self_scale, cross_scale=cross_scale, dt=dt,
+    )
+    tokens_out_ref[...] = x_tok.astype(tokens_out_ref.dtype).reshape(G, _T, C)
+
+
+def _stack_kernel(
+    tokens_ref,  # [G, T, C] initial tokens (= point embeddings)
+    qpe_tok_ref,  # [G, T, C]
+    *refs,
+    G: int,
+    eps: float,
+    self_scale: float,
+    cross_scale: float,
+):
+    keys_refs = refs[:G]
+    rest = refs[G:]
+    nL = len(_LAYER_REF_NAMES)
+    nF = len(_FINAL_REF_NAMES)
+    nC = len(_CONST_REF_NAMES)
+    w1 = dict(zip(_LAYER_REF_NAMES, rest[:nL]))
+    w2 = dict(zip(_LAYER_REF_NAMES, rest[nL : 2 * nL]))
+    wf = dict(zip(_FINAL_REF_NAMES, rest[2 * nL : 2 * nL + nF]))
+    consts = dict(zip(_CONST_REF_NAMES, rest[2 * nL + nF : 2 * nL + nF + nC]))
+    keys_out_ref, tokens_out_ref, scratch_ref = rest[2 * nL + nF + nC :]
+
+    dt = keys_refs[0].dtype
+    C = tokens_ref.shape[2]
+    GT = G * _T
+    x_tok = tokens_ref[...].reshape(GT, C).astype(jnp.float32)
+    qpe_t = qpe_tok_ref[...].reshape(GT, C).astype(jnp.float32)
+    n_tiles = keys_refs[0].shape[1] // _TILE
+
+    # layer 1: read from the HBM-fetched blocks; the inter-layer keys state
+    # goes into a fixed VMEM SCRATCH ref (Python-value tiles measured ~10
+    # us/candidate slower — Mosaic physically copies long-lived values when
+    # buffers rotate; a scratch allocation is stable storage)
+    def read_l1(c, i):
+        return keys_refs[c][0, pl.ds(i * _TILE, _TILE), :]
+
+    def write_l1(c, i, z):
+        scratch_ref[c, pl.ds(i * _TILE, _TILE), :] = z.astype(dt)
+
+    x_tok = _layer_body(
+        x_tok, qpe_t, w1, consts, read_l1, write_l1,
+        G=G, n_tiles=n_tiles, skip_pe=True, eps=eps,
+        self_scale=self_scale, cross_scale=cross_scale, dt=dt,
+    )
+
+    # layer 2: read the scratch; its stage-4 output is the final keys
+    # state — write it straight to the output block (a readable VMEM ref),
+    # which the final attention then consumes
+    def read_l2(c, i):
+        return scratch_ref[c, pl.ds(i * _TILE, _TILE), :]
+
+    def write_l2(c, i, z):
+        keys_out_ref[c, pl.ds(i * _TILE, _TILE), :] = z.astype(keys_out_ref.dtype)
+
+    x_tok = _layer_body(
+        x_tok, qpe_t, w2, consts, read_l2, write_l2,
+        G=G, n_tiles=n_tiles, skip_pe=False, eps=eps,
+        self_scale=self_scale, cross_scale=cross_scale, dt=dt,
+    )
+
+    def read_final(c, i):
+        return keys_out_ref[c, pl.ds(i * _TILE, _TILE), :]
+
+    x_tok = _final_body(
+        x_tok, qpe_t, wf, consts, read_final,
+        G=G, n_tiles=n_tiles, eps=eps, cross_scale=cross_scale, dt=dt,
+    )
+    tokens_out_ref[...] = x_tok.astype(tokens_out_ref.dtype).reshape(G, _T, C)
 
 
 def _constants(num_heads: int, c_dim: int, i_dim: int, n_real_tokens: int, dt, G: int):
@@ -294,6 +464,78 @@ def _bias2d(b, dt=None):
     return b if dt is None else b.astype(dt)
 
 
+def _layer_arg_arrays(lp, kpe, qpe_img, dt):
+    """The per-layer weight operands, ordered as _LAYER_REF_NAMES."""
+    t2i, i2t, sa = lp["cross_attn_t2i"], lp["cross_attn_i2t"], lp["self_attn"]
+    w_img = jnp.concatenate(
+        [t2i["k_proj"]["w"], t2i["v_proj"]["w"], i2t["q_proj"]["w"]], axis=1
+    ).astype(dt)
+    b_img = jnp.concatenate(
+        [t2i["k_proj"]["b"], t2i["v_proj"]["b"], i2t["q_proj"]["b"]]
+    ).reshape(1, -1).astype(jnp.float32)
+    mlp = lp["mlp"]
+    return [
+        kpe.astype(dt), qpe_img.astype(dt), w_img, b_img,
+        sa["q_proj"]["w"].astype(dt), _bias2d(sa["q_proj"]["b"], jnp.float32),
+        sa["k_proj"]["w"].astype(dt), _bias2d(sa["k_proj"]["b"], jnp.float32),
+        sa["v_proj"]["w"].astype(dt), _bias2d(sa["v_proj"]["b"], jnp.float32),
+        sa["out_proj"]["w"].astype(dt), _bias2d(sa["out_proj"]["b"], jnp.float32),
+        _bias2d(lp["norm1"]["scale"]), _bias2d(lp["norm1"]["bias"]),
+        _bias2d(lp["norm2"]["scale"]), _bias2d(lp["norm2"]["bias"]),
+        _bias2d(lp["norm3"]["scale"]), _bias2d(lp["norm3"]["bias"]),
+        _bias2d(lp["norm4"]["scale"]), _bias2d(lp["norm4"]["bias"]),
+        t2i["q_proj"]["w"].astype(dt), _bias2d(t2i["q_proj"]["b"], jnp.float32),
+        t2i["out_proj"]["w"].astype(dt), _bias2d(t2i["out_proj"]["b"], jnp.float32),
+        mlp["lin1"]["w"].astype(dt), _bias2d(mlp["lin1"]["b"], jnp.float32),
+        mlp["lin2"]["w"].astype(dt), _bias2d(mlp["lin2"]["b"], jnp.float32),
+        i2t["k_proj"]["w"].astype(dt), _bias2d(i2t["k_proj"]["b"], jnp.float32),
+        i2t["v_proj"]["w"].astype(dt), _bias2d(i2t["v_proj"]["b"], jnp.float32),
+        i2t["out_proj"]["w"].astype(dt), _bias2d(i2t["out_proj"]["b"], jnp.float32),
+    ]
+
+
+def _final_arg_arrays(fa, norm_final, kpe_f, dt):
+    """The final-attention operands, ordered as _FINAL_REF_NAMES."""
+    wkv = jnp.concatenate([fa["k_proj"]["w"], fa["v_proj"]["w"]], axis=1).astype(dt)
+    bkv = jnp.concatenate([fa["k_proj"]["b"], fa["v_proj"]["b"]]).reshape(1, -1).astype(jnp.float32)
+    return [
+        kpe_f.astype(dt), wkv, bkv,
+        fa["q_proj"]["w"].astype(dt), _bias2d(fa["q_proj"]["b"], jnp.float32),
+        fa["out_proj"]["w"].astype(dt), _bias2d(fa["out_proj"]["b"], jnp.float32),
+        _bias2d(norm_final["scale"]), _bias2d(norm_final["bias"]),
+    ]
+
+
+def _specs_and_group(B, n_tok, N, C, prefetch, G):
+    """Common BlockSpec builders: cdim (whole-operand constants), grp3
+    (G-grouped batch blocks), and the G per-candidate keys specs."""
+    if prefetch:
+        # index_maps gain the scalar-prefetch ref as a trailing arg
+        cdim = lambda *shape: pl.BlockSpec(
+            shape, lambda i, s: (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+        grp3 = lambda *shape: pl.BlockSpec(
+            shape, lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        keys_specs = [
+            pl.BlockSpec(
+                (1, N, C), lambda i, s, g=g: (s[i * G + g], 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            for g in range(G)
+        ]
+    else:
+        cdim = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+        grp3 = lambda *shape: pl.BlockSpec(shape, lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        keys_specs = [
+            pl.BlockSpec(
+                (1, N, C), lambda i, g=g: (i * G + g, 0, 0), memory_space=pltpu.VMEM
+            )
+            for g in range(G)
+        ]
+    return cdim, grp3, keys_specs
+
+
 def two_way_layer_fused(
     lp,  # layer params (sam_decoder._init_two_way_block naming)
     tokens: jax.Array,  # [B, n_tok, C] (n_tok <= 8)
@@ -329,63 +571,16 @@ def two_way_layer_fused(
         tokens = jnp.pad(tokens, ((0, 0), (0, pad), (0, 0)))
         qpe_tok = jnp.pad(qpe_tok, ((0, 0), (0, pad), (0, 0)))
 
-    t2i, i2t, sa = lp["cross_attn_t2i"], lp["cross_attn_i2t"], lp["self_attn"]
-    w_img = jnp.concatenate(
-        [t2i["k_proj"]["w"], t2i["v_proj"]["w"], i2t["q_proj"]["w"]], axis=1
-    ).astype(dt)
-    b_img = jnp.concatenate(
-        [t2i["k_proj"]["b"], t2i["v_proj"]["b"], i2t["q_proj"]["b"]]
-    ).reshape(1, -1).astype(jnp.float32)
-
     consts = _constants(num_heads, C, I, n_tok, dt, G)
     self_scale = 1.0 / float(np.sqrt(C // num_heads))
     cross_scale = 1.0 / float(np.sqrt(I // num_heads))
 
     prefetch = keys_idx is not None
-    if prefetch:
-        # index_maps gain the scalar-prefetch ref as a trailing arg
-        cdim = lambda *shape: pl.BlockSpec(
-            shape, lambda i, s: (0,) * len(shape), memory_space=pltpu.VMEM
-        )
-        grp3 = lambda *shape: pl.BlockSpec(
-            shape, lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
-        )
-        keys_specs = [
-            pl.BlockSpec(
-                (1, N, C), lambda i, s, g=g: (s[i * G + g], 0, 0),
-                memory_space=pltpu.VMEM,
-            )
-            for g in range(G)
-        ]
-    else:
-        cdim = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
-        grp3 = lambda *shape: pl.BlockSpec(shape, lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-        keys_specs = [
-            pl.BlockSpec(
-                (1, N, C), lambda i, g=g: (i * G + g, 0, 0), memory_space=pltpu.VMEM
-            )
-            for g in range(G)
-        ]
+    cdim, grp3, keys_specs = _specs_and_group(B, n_tok, N, C, prefetch, G)
 
-    mlp = lp["mlp"]
     args = [
         tokens, qpe_tok, *([keys] * G),
-        kpe.astype(dt), qpe_img.astype(dt), w_img, b_img,
-        sa["q_proj"]["w"].astype(dt), _bias2d(sa["q_proj"]["b"], jnp.float32),
-        sa["k_proj"]["w"].astype(dt), _bias2d(sa["k_proj"]["b"], jnp.float32),
-        sa["v_proj"]["w"].astype(dt), _bias2d(sa["v_proj"]["b"], jnp.float32),
-        sa["out_proj"]["w"].astype(dt), _bias2d(sa["out_proj"]["b"], jnp.float32),
-        _bias2d(lp["norm1"]["scale"]), _bias2d(lp["norm1"]["bias"]),
-        _bias2d(lp["norm2"]["scale"]), _bias2d(lp["norm2"]["bias"]),
-        _bias2d(lp["norm3"]["scale"]), _bias2d(lp["norm3"]["bias"]),
-        _bias2d(lp["norm4"]["scale"]), _bias2d(lp["norm4"]["bias"]),
-        t2i["q_proj"]["w"].astype(dt), _bias2d(t2i["q_proj"]["b"], jnp.float32),
-        t2i["out_proj"]["w"].astype(dt), _bias2d(t2i["out_proj"]["b"], jnp.float32),
-        mlp["lin1"]["w"].astype(dt), _bias2d(mlp["lin1"]["b"], jnp.float32),
-        mlp["lin2"]["w"].astype(dt), _bias2d(mlp["lin2"]["b"], jnp.float32),
-        i2t["k_proj"]["w"].astype(dt), _bias2d(i2t["k_proj"]["b"], jnp.float32),
-        i2t["v_proj"]["w"].astype(dt), _bias2d(i2t["v_proj"]["b"], jnp.float32),
-        i2t["out_proj"]["w"].astype(dt), _bias2d(i2t["out_proj"]["b"], jnp.float32),
+        *_layer_arg_arrays(lp, kpe, qpe_img, dt),
         *consts,
     ]
     in_specs = []
@@ -440,4 +635,107 @@ def two_way_layer_fused(
 
     # scale q AFTER t2i bias (the reference scales q post-projection): note the
     # kernel applies cross_scale to (proj + bias) jointly — identical math.
+    return tokens_out[:, :n_tok, :], keys_out
+
+
+def two_way_stack_fused(
+    p,  # whole transformer params: {"layers": [l1, l2], "final_attn_t2i", "norm_final"}
+    tokens: jax.Array,  # [B, n_tok, C] point embeddings
+    qpe_tok: jax.Array,  # [B, n_tok, C] (== tokens for the reference)
+    keys: jax.Array,  # [B, N, C] image embedding rows, or a STORE [S, N, C]
+    kpe_layers,  # list of [N, I]: per-layer t2i.k_proj(key_pe)
+    qpe_img_layers,  # list of [N, I]: per-layer i2t.q_proj(key_pe)
+    kpe_final: jax.Array,  # [N, I]: final_attn.k_proj(key_pe)
+    num_heads: int,
+    eps: float = 1e-5,
+    keys_idx: jax.Array = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """The ENTIRE depth-2 two-way transformer (both TwoWayAttentionBlocks +
+    final token->image attention + norm_final) as ONE kernel. Keys cross HBM
+    exactly once in (store/batch read) and once out (for the upscale tail);
+    the inter-layer keys state lives as VMEM tile values.
+
+    Returns (queries_final [B, n_tok, C], keys_final [B, N, C]) — exactly
+    ``two_way_transformer(..., fused=...)``'s contract after norm_final.
+    """
+    assert len(p["layers"]) == 2, "stack kernel is specialized to depth 2"
+    B, n_tok, C = tokens.shape
+    N = keys.shape[1]
+    dt = keys.dtype
+    I = p["layers"][0]["cross_attn_t2i"]["q_proj"]["w"].shape[-1]
+    assert N % _TILE == 0 and n_tok <= _T
+    if keys_idx is not None:
+        assert keys_idx.shape == (B,) and keys.shape[2] == C
+
+    G = max(gg for gg in (_GROUP, 2, 1) if B % gg == 0)
+
+    pad = _T - n_tok
+    if pad:
+        tokens = jnp.pad(tokens, ((0, 0), (0, pad), (0, 0)))
+        qpe_tok = jnp.pad(qpe_tok, ((0, 0), (0, pad), (0, 0)))
+
+    consts = _constants(num_heads, C, I, n_tok, dt, G)
+    self_scale = 1.0 / float(np.sqrt(C // num_heads))
+    cross_scale = 1.0 / float(np.sqrt(I // num_heads))
+
+    prefetch = keys_idx is not None
+    cdim, grp3, keys_specs = _specs_and_group(B, n_tok, N, C, prefetch, G)
+
+    args = [
+        tokens, qpe_tok, *([keys] * G),
+        *_layer_arg_arrays(p["layers"][0], kpe_layers[0], qpe_img_layers[0], dt),
+        *_layer_arg_arrays(p["layers"][1], kpe_layers[1], qpe_img_layers[1], dt),
+        *_final_arg_arrays(p["final_attn_t2i"], p["norm_final"], kpe_final, dt),
+        *consts,
+    ]
+    in_specs = []
+    for a in args[:2]:
+        in_specs.append(grp3(G, a.shape[1], a.shape[2]))
+    in_specs.extend(keys_specs)
+    for a in args[2 + G :]:
+        in_specs.append(cdim(*a.shape))
+
+    kernel = functools.partial(
+        _stack_kernel,
+        G=G,
+        eps=eps,
+        self_scale=self_scale,
+        cross_scale=cross_scale,
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((B, N, C), dt),
+        jax.ShapeDtypeStruct((B, _T, C), dt),
+    )
+    out_specs = (grp3(G, N, C), grp3(G, _T, C))
+    # the inter-layer keys state lives in a fixed VMEM scratch (G x N x C
+    # bf16 = 2 MB per candidate) on top of the per-layer budget
+    scratch = [pltpu.VMEM((G, N, C), dt)]
+    vmem_limit = min(100, 12 + G * 22) * 1024 * 1024
+    params = pltpu.CompilerParams(vmem_limit_bytes=vmem_limit)
+    if prefetch:
+        keys_out, tokens_out = pl.pallas_call(
+            lambda idx_ref, *refs: kernel(*refs),
+            out_shape=out_shape,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(B // G,),
+                in_specs=in_specs,
+                out_specs=out_specs,
+                scratch_shapes=scratch,
+            ),
+            compiler_params=params,
+            interpret=_interpret(),
+        )(keys_idx.astype(jnp.int32), *args)
+    else:
+        keys_out, tokens_out = pl.pallas_call(
+            kernel,
+            out_shape=out_shape,
+            grid=(B // G,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+            compiler_params=params,
+            interpret=_interpret(),
+        )(*args)
+
     return tokens_out[:, :n_tok, :], keys_out
