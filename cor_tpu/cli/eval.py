@@ -17,6 +17,15 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="cor_tpu evaluator")
     parser.add_argument("--config", required=True)
     parser.add_argument("--soft", action="store_true", help="also dump soft (grayscale) masks")
+    parser.add_argument(
+        "--visualize",
+        type=int,
+        default=0,
+        metavar="N",
+        help="also render N side-by-side comparison panels per split "
+        "(query | GT | pred | support | support mask + caption), the working "
+        "form of the reference's broken val_visual_for_compare_v2 import",
+    )
     args = parser.parse_args(argv)
 
     import jax
@@ -93,6 +102,19 @@ def main(argv=None):
         if args.soft:
             loader = get_valid_loader(cfg, csv_path=csv_path)
             save_soft_pred_masks(predict, params, loader, out_dir, mask_names=mask_names)
+        if args.visualize > 0:
+            from cor_tpu.eval.visualize import val_visual_for_compare
+
+            loader = get_valid_loader(cfg, csv_path=csv_path)
+            panels = val_visual_for_compare(
+                predict,
+                params,
+                loader,
+                out_dir,
+                manifest=getattr(loader.dataset, "df", None),
+                max_samples=args.visualize,
+            )
+            logger.info(f"[{split_name}] wrote {len(panels)} visualization panels")
         loader = get_valid_loader(cfg, csv_path=csv_path)
         summary = val_metric(
             predict,

@@ -186,3 +186,59 @@ def test_val_metric_joins_metadata_by_id(tmp_path, tiny_predict):
     assert [r["Id"] for r in rows] == ["3", "1", "0", "2"]
     for r in rows:
         assert r["Query_img"] == f"img_{r['Id']}.jpg"
+
+
+def test_val_visual_for_compare_panels(tmp_path, tiny_predict):
+    """The visualization dump (working form of the reference's broken
+    val_visual_for_compare_v2 import, my_test.py:12): one RGB PNG per
+    triplet with five target_size panels + caption block, metadata joined
+    by pair Id, max_samples honored."""
+    import pandas as pd
+
+    from cor_tpu.eval.visualize import val_visual_for_compare
+
+    predict, params = tiny_predict
+    manifest = pd.DataFrame(
+        {
+            "Id": list(range(5)),
+            "Text": [f"make it {i}" for i in range(5)],
+            "Compose": [0] * 5,
+            "Dataset": ["coco"] * 5,
+            "Target": [f"cat_{i}" for i in range(5)],
+        }
+    )
+    tw, th, padding = 64, 64, 10
+    written = val_visual_for_compare(
+        predict, params, _tiny_loader(), tmp_path,
+        manifest=manifest, target_size=(tw, th), padding=padding,
+        max_samples=3,
+    )
+    assert len(written) == 3
+    assert sorted(p.name for p in written) == ["0.png", "1.png", "2.png"]
+    img = Image.open(written[0])
+    assert img.mode == "RGB"
+    assert img.width == 5 * tw + 6 * padding  # 5 panels + gutters
+    assert img.height > th + 2 * padding  # caption block below the panels
+    arr = np.asarray(img)
+    assert arr.min() < 64 and arr.max() > 192  # real content was drawn
+
+
+def test_val_visual_skips_bad_sample(tmp_path, tiny_predict):
+    """Per-sample try/continue: one malformed sample never kills the dump."""
+    from cor_tpu.eval.visualize import val_visual_for_compare
+
+    predict, params = tiny_predict
+    ds = SyntheticDataset(
+        length=2, query_img_size=64, support_img_size=32,
+        context_length=8, vocab_size=64, seed=3,
+    )
+
+    # corrupt one sample's pair_id so the per-sample body fails for it only
+    class BadIdLoader:
+        def __iter__(self):
+            b = {k: np.stack([ds[0][k], ds[1][k]]) for k in ds[0]}
+            b["pair_id"] = np.array([0, None], object)
+            yield b
+
+    written = val_visual_for_compare(predict, params, BadIdLoader(), tmp_path)
+    assert len(written) == 1
