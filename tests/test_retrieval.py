@@ -227,3 +227,89 @@ def test_gallery_index_build_save_load_serve(key, tmp_path):
         evaluate_retrieval_with_index(
             cfg, params, DataLoader(ds, batch_size=4), mesh, bad, ks=(1,)
         )
+
+
+def test_retrieval_server_end_to_end(key, tmp_path):
+    """RetrievalServer: index -> warmup -> synthetic + file-based requests.
+    Self-retrieval: a query whose gallery row was built from the SAME triplet
+    must rank it first when its embedding is planted; decode mode writes one
+    PNG per retrieved candidate; decode without a store hard-fails."""
+    import pytest
+    from PIL import Image
+
+    from cor_tpu.cli.index import build_index
+    from cor_tpu.data.pipeline import DataLoader, SyntheticDataset
+    from cor_tpu.retrieval.index import load_gallery_index, save_gallery_index
+    from cor_tpu.retrieval.serve import RetrievalServer
+
+    cfg = tiny_core_config()
+    params = init_core_model(key, cfg)
+    ds = SyntheticDataset(
+        length=10, query_img_size=64, support_img_size=32,
+        context_length=8, vocab_size=64, seed=5,
+    )
+    emb, ids, store = build_index(
+        cfg, params, DataLoader(ds, batch_size=5), with_store=True
+    )
+    save_gallery_index(tmp_path / "idx", emb, ids, image_embeddings=store)
+    index = load_gallery_index(tmp_path / "idx")
+
+    server = RetrievalServer(
+        cfg, params, index, k=4, decode_dir=str(tmp_path / "pred")
+    )
+    server.warmup()
+
+    resp = server.handle({"id": 42, "synthetic": 3})
+    assert resp["id"] == 42 and len(resp["results"]) == 4
+    scores = [r["score"] for r in resp["results"]]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r["pair_id"] in set(ids.tolist()) for r in resp["results"])
+    assert len(resp["masks"]) == 4
+    for p in resp["masks"]:
+        img = np.asarray(Image.open(p))
+        assert set(np.unique(img)).issubset({0, 255})
+
+    # planted self-match: encode query 3's support triple, overwrite gallery
+    # row 3 with that embedding -> top-1 must be pair id 3
+    import jax.numpy as jnp2
+
+    s = ds[3]
+    q = np.asarray(
+        server.encode_query(
+            params,
+            jnp2.asarray(s["support_img"])[None],
+            jnp2.asarray(s["text"])[None],
+            jnp2.asarray(s["support_mask"])[None],
+        )
+    )[0]
+    planted = emb.copy()
+    planted[3] = q / np.linalg.norm(q)
+    server2 = RetrievalServer(
+        cfg, params, {**index, "embeddings": planted, "store": None}, k=4
+    )
+    top = server2.handle({"id": 0, "synthetic": 3})["results"][0]
+    assert top["pair_id"] == int(ids[3])
+
+    # file-based request path (PIL images on disk)
+    rng = np.random.default_rng(0)
+    Image.fromarray((rng.random((40, 40, 3)) * 255).astype(np.uint8)).save(
+        tmp_path / "s.jpg"
+    )
+    Image.fromarray((rng.random((40, 40)) > 0.5).astype(np.uint8) * 255).save(
+        tmp_path / "m.png"
+    )
+    resp_f = server2.handle(
+        {
+            "id": "f1",
+            "support_img": str(tmp_path / "s.jpg"),
+            "support_mask": str(tmp_path / "m.png"),
+            "text": "turn the cat blue",
+        }
+    )
+    assert len(resp_f["results"]) == 4
+
+    # decode requested without a store -> loud failure at construction
+    with pytest.raises(ValueError, match="with-store"):
+        RetrievalServer(
+            cfg, params, {**index, "store": None}, k=4, decode_dir=str(tmp_path / "x")
+        )
