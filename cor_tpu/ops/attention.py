@@ -144,18 +144,26 @@ def attention_2d_fused(p: Params, x: jax.Array, num_heads: int) -> jax.Array:
 
     qkv = dense(p["qkv"], x.reshape(B, N, C))  # [B, N, 3C]
     r_q = qkv[..., :C].reshape(B, H, W, num_heads, head_dim)
-    Rh = get_rel_pos(H, H, p["rel_pos_h"]).astype(jnp.float32)
-    Rw = get_rel_pos(W, W, p["rel_pos_w"]).astype(jnp.float32)
+    # bias factors in the compute dtype (fp32 accumulate): the kernel folds
+    # them into its single logits GEMM, matching the reference's bf16-
+    # autocast einsum precision (trainer_v3_g.py:51) while running the whole
+    # bias at the compute dtype's MXU rate. The k-index axes are zero-padded
+    # to the kernel's 32-lane alignment BEFORE the einsum so the factors come
+    # out pre-padded (no extra HBM pad pass on the [B, heads, N, K] arrays).
+    Hp = -(-H // 32) * 32
+    Wp = -(-W // 32) * 32
+    Rh = jnp.pad(get_rel_pos(H, H, p["rel_pos_h"]), ((0, 0), (0, Hp - H), (0, 0))).astype(x.dtype)
+    Rw = jnp.pad(get_rel_pos(W, W, p["rel_pos_w"]), ((0, 0), (0, Wp - W), (0, 0))).astype(x.dtype)
     rel_h = jnp.einsum(
-        "bijhd,ikd->bhijk", r_q.astype(jnp.float32), Rh
-    ).reshape(B, num_heads, N, H)
+        "bijhd,ikd->bhijk", r_q, Rh, preferred_element_type=jnp.float32
+    ).astype(x.dtype).reshape(B, num_heads, N, Hp)
     rel_w = jnp.einsum(
-        "bijhd,jkd->bhijk", r_q.astype(jnp.float32), Rw
-    ).reshape(B, num_heads, N, W)
+        "bijhd,jkd->bhijk", r_q, Rw, preferred_element_type=jnp.float32
+    ).astype(x.dtype).reshape(B, num_heads, N, Wp)
     rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0).reshape(-1)
     cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1).reshape(-1)
-    eh = (jnp.arange(H)[:, None] == rows[None, :]).astype(jnp.float32)
-    ew = (jnp.arange(W)[:, None] == cols[None, :]).astype(jnp.float32)
+    eh = (jnp.arange(Hp)[:, None] == rows[None, :]).astype(jnp.float32)
+    ew = (jnp.arange(Wp)[:, None] == cols[None, :]).astype(jnp.float32)
 
     out = vit_attention_relpos_pallas(qkv, rel_h, rel_w, eh, ew, num_heads)
     return dense(p["proj"], out.reshape(B, H, W, C))
