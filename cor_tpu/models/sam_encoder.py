@@ -69,6 +69,13 @@ class SamEncoderConfig:
     # recomputation — is ever built), but the toggle lets an unfrozen
     # fine-tune or a measurement turn it off
     remat_blocks: bool = True
+    # fold the window partition into the Pallas kernel's block index maps
+    # (attention_2d_fused window= path) instead of XLA partition transposes.
+    # Measured 7% SLOWER end-to-end at B=8 (103.8 vs 96.9 ms): the aligned
+    # window-layout build + crop copies cost as much HBM bandwidth as the
+    # 6-D transposes they replace, and the qkv/proj GEMMs grow 14% (wpad 16
+    # vs window 14). Kept opt-in for re-measurement on future Mosaic/XLA.
+    fused_window_indexing: bool = False
 
     @property
     def grid(self) -> int:
@@ -151,13 +158,18 @@ def _patch_embed(p: Params, x: jax.Array, patch: int) -> jax.Array:
 def _block(bp: Params, x: jax.Array, cfg: SamEncoderConfig, window: int) -> jax.Array:
     shortcut = x
     x = layer_norm(bp["norm1"], x, eps=cfg.ln_eps)
-    if window > 0:
-        H, W = x.shape[1], x.shape[2]
-        x, pad_hw = window_partition(x, window)
-    attn_fn = attention_2d_fused if cfg.fused_attention else attention_2d
-    x = attn_fn(bp["attn"], x, cfg.num_heads)
-    if window > 0:
-        x = window_unpartition(x, window, pad_hw, (H, W))
+    if cfg.fused_attention and window > 0 and cfg.fused_window_indexing:
+        # opt-in: partition folded into the kernel's block index maps
+        # (measured slower end-to-end — see the config field's comment)
+        x = attention_2d_fused(bp["attn"], x, cfg.num_heads, window=window)
+    else:
+        if window > 0:
+            H, W = x.shape[1], x.shape[2]
+            x, pad_hw = window_partition(x, window)
+        attn_fn = attention_2d_fused if cfg.fused_attention else attention_2d
+        x = attn_fn(bp["attn"], x, cfg.num_heads)
+        if window > 0:
+            x = window_unpartition(x, window, pad_hw, (H, W))
     x = shortcut + x
     x = x + mlp_block(bp["mlp"], layer_norm(bp["norm2"], x, eps=cfg.ln_eps))
     return x

@@ -130,17 +130,92 @@ def init_attention_2d(
     return p
 
 
-def attention_2d_fused(p: Params, x: jax.Array, num_heads: int) -> jax.Array:
+def attention_2d_fused(
+    p: Params, x: jax.Array, num_heads: int, window: int = 0
+) -> jax.Array:
     """attention_2d via the Pallas VMEM-resident rel-pos kernel
     (cor_tpu.ops.pallas.vit_attention): logits + decomposed bias + softmax
-    never leave VMEM. Numerics oracle: attention_2d (tested)."""
-    from cor_tpu.ops.pallas.vit_attention import vit_attention_relpos_pallas
+    never leave VMEM. Numerics oracle: attention_2d (tested).
+
+    With ``window > 0``, x stays on the UNPARTITIONED [B, H, W, C] grid and
+    the window partition is fused into the kernel's block index maps — the
+    reference's partition/unpartition transposes (image_encoder.py:244-290;
+    measured ~14 ms of pure data movement per B=8 encoder forward) never
+    materialize. Only the zero-pad to a window multiple (required semantics:
+    pad tokens act as keys through the qkv bias) and the final crop remain.
+    """
+    from cor_tpu.ops.pallas.vit_attention import (
+        vit_attention_relpos_pallas,
+        vit_attention_relpos_windows_pallas,
+    )
 
     B, H, W, C = x.shape
     N = H * W
     head_dim = C // num_heads
     if C % 128 != 0 or 128 % head_dim != 0 or "rel_pos_h" not in p:
+        if window > 0:
+            xw, pad_hw = window_partition(x, window)
+            xw = attention_2d(p, xw, num_heads)
+            return window_unpartition(xw, window, pad_hw, (H, W))
         return attention_2d(p, x, num_heads)
+
+    if window > 0:
+        pad_h = (window - H % window) % window
+        pad_w = (window - W % window) % window
+        Hp_, Wp_ = H + pad_h, W + pad_w
+        nwi, nwj = Hp_ // window, Wp_ // window
+        # Mosaic requires the last-two block dims 8/128-aligned, so each
+        # window-column group is stored at stride wpad >= window (window 14
+        # -> 16). Build [B, Hp, nwj, wpad, C] in ONE fused pass: concat of
+        # column slices + zero fill + H pad — all aligned copies, replacing
+        # the 6-D partition/unpartition transposes.
+        wpad = -(-window // 8) * 8
+        zcol = jnp.zeros((B, H, wpad - window, C), x.dtype)
+        groups = []
+        for wj in range(nwj):
+            lo = wj * window
+            real = min(window, W - lo)
+            g = x[:, :, lo : lo + real, :]
+            if real < window:
+                g = jnp.concatenate(
+                    [g, jnp.zeros((B, H, window - real, C), x.dtype)], axis=2
+                )
+            if wpad > window:
+                g = jnp.concatenate([g, zcol], axis=2)
+            groups.append(g)
+        xw = jnp.stack(groups, axis=2)  # [B, H, nwj, wpad, C]
+        if pad_h:
+            xw = jnp.pad(xw, ((0, 0), (0, pad_h), (0, 0), (0, 0), (0, 0)))
+        qkv = dense(p["qkv"], xw)  # [B, Hp, nwj, wpad, 3C]
+        Kp = -(-window // 32) * 32
+        Rh = jnp.pad(
+            get_rel_pos(window, window, p["rel_pos_h"]),
+            ((0, 0), (0, Kp - window), (0, 0)),
+        ).astype(x.dtype)
+        # q-side table padded to wpad rows (pad-column queries are cropped)
+        Rw = jnp.pad(
+            get_rel_pos(window, window, p["rel_pos_w"]),
+            ((0, wpad - window), (0, Kp - window), (0, 0)),
+        ).astype(x.dtype)
+        r_q = qkv[..., :C].reshape(B, nwi, window, nwj, wpad, num_heads, head_dim)
+        # bias factors on the window-aligned layout: output dims
+        # (b h r i s j k) merge contiguously — no transpose
+        rel_h = jnp.einsum(
+            "brisjhd,ikd->bhrisjk", r_q, Rh, preferred_element_type=jnp.float32
+        ).astype(x.dtype).reshape(B, num_heads, Hp_, nwj, wpad, Kp)
+        rel_w = jnp.einsum(
+            "brisjhd,jkd->bhrisjk", r_q, Rw, preferred_element_type=jnp.float32
+        ).astype(x.dtype).reshape(B, num_heads, Hp_, nwj, wpad, Kp)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (window, wpad), 0).reshape(-1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (window, wpad), 1).reshape(-1)
+        eh_t = (rows[:, None] == jnp.arange(Kp)[None, :]).astype(jnp.float32)
+        ew_t = (cols[:, None] == jnp.arange(Kp)[None, :]).astype(jnp.float32)
+        out = vit_attention_relpos_windows_pallas(
+            qkv, rel_h, rel_w, eh_t, ew_t, num_heads, window
+        )
+        # crop: [B, Hp, nwj, wpad, C] -> [B, H, W, C]
+        out = out[:, :H, :, :window, :].reshape(B, H, Wp_, C)[:, :, :W, :]
+        return dense(p["proj"], out)
 
     qkv = dense(p["qkv"], x.reshape(B, N, C))  # [B, N, 3C]
     r_q = qkv[..., :C].reshape(B, H, W, num_heads, head_dim)

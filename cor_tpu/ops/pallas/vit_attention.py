@@ -83,6 +83,131 @@ def _kernel(
     o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
+def _kernel_window(
+    q_ref, k_ref, v_ref, rh_ref, rw_ref, eht_ref, ewt_ref, o_ref,
+    *, scale, head_dim, window, wpad,
+):
+    """One grid step = one (batch, head-pair, window). The window's tokens are
+    read straight out of the [B, Hp, nW, wpad, .] lane-aligned grid layout by
+    the BlockSpec index maps — the XLA window_partition/unpartition transposes
+    (a pure data-movement tax in the reference formulation,
+    image_encoder.py:244-290) never materialize. The wpad-window columns
+    beyond `window` are alignment padding only: masked out of the softmax
+    below (unlike the TRUE grid pads, which the reference semantics admit as
+    keys through the qkv bias)."""
+    n = window * wpad
+    q2 = q_ref[0].reshape(n, 128)  # [window, 1, wpad, 128] -> token-major
+    k2 = k_ref[0].reshape(n, 128)
+    v2 = v_ref[0].reshape(n, 128)
+    eht = eht_ref[:]  # [n, Kp] indicator columns (compute dtype)
+    ewt = ewt_ref[:]
+    # keys at intra-window col >= window are layout padding: zero their
+    # exp-weights (the mean-shifted logits never overflow, so a plain
+    # multiplicative mask is exact)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1) % wpad
+    kmask = (col < window).astype(jnp.float32)
+    outs = []
+    for h in range(128 // head_dim):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        # every grid step is a fresh window, so kcat is built per step (the
+        # q-tile reuse that justifies the global kernel's scratch is absent:
+        # a window is a single q-tile). Column-mean shift as in _kernel.
+        kcat = jnp.concatenate([k2[:, sl], eht, ewt], axis=1)
+        kcat = kcat - jnp.mean(kcat, axis=0, keepdims=True)
+        qcat = jnp.concatenate(
+            [
+                q2[:, sl] * scale,
+                rh_ref[0, h].reshape(n, -1),
+                rw_ref[0, h].reshape(n, -1),
+            ],
+            axis=1,
+        )
+        l = jax.lax.dot_general(
+            qcat, kcat, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [n, n]
+        e = jnp.exp(l) * kmask
+        s = jnp.sum(e, axis=-1, keepdims=True)
+        av = jnp.dot(e.astype(q2.dtype), v2[:, sl], preferred_element_type=jnp.float32)
+        outs.append(av / s)
+    o_ref[0] = (
+        jnp.concatenate(outs, axis=-1).astype(o_ref.dtype).reshape(window, 1, wpad, 128)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "window"))
+def vit_attention_relpos_windows_pallas(
+    qkv: jax.Array,  # [B, Hp, nW, wpad, 3C] fused-QKV output, window-aligned
+    rel_h: jax.Array,  # [B, HEADS, Hp, nW, wpad, Kp] bias factors
+    rel_w: jax.Array,  # [B, HEADS, Hp, nW, wpad, Kp]
+    eh_t: jax.Array,  # [n, Kp] intra-window row indicators (n = window*wpad)
+    ew_t: jax.Array,  # [n, Kp] intra-window col indicators
+    num_heads: int,
+    window: int,
+) -> jax.Array:  # [B, Hp, nW, wpad, C]
+    """Windowed rel-pos attention with the window partition FUSED into the
+    kernel's block indexing: block (1, window, 1, wpad, 128) at block index
+    (b, wi, wj, head-pair) IS the window. wpad = window rounded up to the
+    8-sublane alignment Mosaic requires of the last-two block dims; the
+    caller pads each window-column group to wpad and crops after."""
+    B, Hp, nwj, wpad, C3 = qkv.shape
+    C = C3 // 3
+    D = C // num_heads
+    P = C // 128
+    hpp = 128 // D
+    nwi = Hp // window
+    Kp = rel_h.shape[-1]
+    dt = qkv.dtype
+
+    return pl.pallas_call(
+        functools.partial(
+            _kernel_window, scale=1.0 / (D**0.5), head_dim=D, window=window, wpad=wpad
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Hp, nwj, wpad, C), dt),
+        grid=(B, P, nwi, nwj),
+        in_specs=[
+            pl.BlockSpec(
+                (1, window, 1, wpad, 128),
+                lambda b, j, wi, wj: (b, wi, wj, 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, window, 1, wpad, 128),
+                lambda b, j, wi, wj: (b, wi, wj, 0, P + j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, window, 1, wpad, 128),
+                lambda b, j, wi, wj: (b, wi, wj, 0, 2 * P + j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, hpp, window, 1, wpad, Kp),
+                lambda b, j, wi, wj: (b, j, wi, wj, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, hpp, window, 1, wpad, Kp),
+                lambda b, j, wi, wj: (b, j, wi, wj, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (window * wpad, Kp), lambda b, j, wi, wj: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (window * wpad, Kp), lambda b, j, wi, wj: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, window, 1, wpad, 128),
+            lambda b, j, wi, wj: (b, wi, wj, 0, j),
+            memory_space=pltpu.VMEM,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
+        interpret=_interpret(),
+    )(qkv, qkv, qkv, rel_h, rel_w, eh_t.astype(dt), ew_t.astype(dt))
+
+
 def _pad_cols(x: jax.Array, to: int) -> jax.Array:
     pad = to - x.shape[-1]
     if pad == 0:
