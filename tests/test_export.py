@@ -156,6 +156,34 @@ def test_exported_support_branch_modules_strict_load():
     assert not missing and not unexpected
 
 
+def test_export_cli_orbax_to_torch_roundtrip(tmp_path):
+    """cor_tpu.cli.export: an Orbax checkpoint (as the trainer writes them)
+    exports to the reference .pth format without needing a config, and the
+    import path reads the result back bitwise."""
+    from cor_tpu.cli.export import main as export_main
+    from cor_tpu.train.checkpoint import save_checkpoint
+
+    cfg = tiny_core_config()
+    params = init_core_model(jax.random.PRNGKey(9), cfg)
+    save_checkpoint(
+        tmp_path, "checkpoint_epoch_2",
+        {"params": params, "epoch": np.int32(2), "loss": np.float32(0.5)},
+    )
+
+    out = tmp_path / "exported.pth"
+    export_main(["--checkpoint", str(tmp_path / "checkpoint_epoch_2"), "--out", str(out)])
+
+    raw = torch.load(str(out), map_location="cpu", weights_only=True)
+    assert raw["epoch"] == 2 and abs(raw["loss"] - 0.5) < 1e-6
+    back = convert_core_checkpoint(
+        load_torch_state_dict(str(out)),
+        encoder_depth=cfg.encoder.depth,
+        siglip_vision_depth=cfg.support.siglip.vision.depth,
+        siglip_text_depth=cfg.support.siglip.text.depth,
+    )
+    _tree_equal(params, back)
+
+
 def test_save_core_checkpoint_reference_dict_format(tmp_path):
     cfg = tiny_core_config()
     params = init_core_model(jax.random.PRNGKey(8), cfg)
