@@ -254,6 +254,53 @@ def main() -> None:
         s = jnp.dot(queries, gallery.T, preferred_element_type=jnp.float32)
         return jax.lax.top_k(s, 10)
 
+    # ------------------------------------------------------------------
+    # int8 per-row-quantized scan (cor_tpu.retrieval.engine scheme): the
+    # scoring GEMM runs int8 x int8 -> int32 on the MXU with 4x less gallery
+    # HBM traffic than fp32 — the production configuration for galleries
+    # that outgrow HBM at fp32. Quantized ON DEVICE; accuracy is measured,
+    # not assumed (self-Recall@1 + top-10 overlap vs the exact fp32 scan).
+    # ------------------------------------------------------------------
+    from cor_tpu.retrieval.engine import _quantize_queries_in_graph, cosine_scores_int8
+
+    @jax.jit
+    def quantize_dev(g):
+        s = jnp.maximum(jnp.max(jnp.abs(g), axis=1) / 127.0, 1e-12)
+        q = jnp.clip(jnp.round(g / s[:, None]), -127, 127).astype(jnp.int8)
+        return q, s.astype(jnp.float32)
+
+    g127_q, g127_s = quantize_dev(g127_dev)
+
+    @jax.jit
+    def scan127_int8(queries, gq, gs):
+        qq, qs = _quantize_queries_in_graph(queries)
+        s = cosine_scores_int8(qq, qs, gq, gs)
+        return jax.lax.approx_max_k(s, 10, recall_target=0.99)
+
+    _, i8_i = scan127_int8(probe, g127_q, g127_s)
+    i8_i = np.asarray(i8_i)
+    recall1_int8 = float(np.mean(i8_i[:, 0] == probe_rows))
+    _, exact_i_iso = scan127_exact(probe, g127_dev)
+    exact_i_iso = np.asarray(exact_i_iso)
+    overlap_int8 = float(
+        np.mean([len(set(exact_i_iso[r]) & set(i8_i[r])) / 10.0 for r in range(QB)])
+    )
+
+    @jax.jit
+    def scan127_int8_n(queries, gq, gs):
+        def body(carry, i):
+            qi = queries + i.astype(jnp.float32) * 1e-7  # defeat CSE
+            ts, ti = scan127_int8(qi, gq, gs)
+            return carry + ti.sum(), None
+
+        c, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(scan_iters))
+        return c
+
+    int(scan127_int8_n(probe, g127_q, g127_s))  # warmup/compile
+    t0 = time.perf_counter()
+    int(scan127_int8_n(probe, g127_q, g127_s))
+    int8_qps = QB * scan_iters / (time.perf_counter() - t0)
+
     n_classes = 408
     centers = rng.standard_normal((n_classes, 256)).astype(np.float32)
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
@@ -294,6 +341,9 @@ def main() -> None:
                     "cor127k_full_gallery_queries_per_sec": round(full_gallery_qps, 2),
                     "cor127k_gallery_rows": G127,
                     "self_recall_at_1": recall1,
+                    "cor127k_int8_queries_per_sec": round(int8_qps, 2),
+                    "int8_self_recall_at_1": round(recall1_int8, 4),
+                    "int8_vs_exact_top10_overlap": round(overlap_int8, 4),
                     "realistic_store_candidates_per_sec": round(
                         candidates_per_sec_big_store, 2
                     ),

@@ -31,6 +31,9 @@ def main(argv=None):
     parser.add_argument("--k", type=int, default=10)
     parser.add_argument("--approx", action="store_true",
                         help="approx_max_k local scan (recall_target 0.99)")
+    parser.add_argument("--int8", action="store_true",
+                        help="int8 per-row-quantized gallery scan (4x less "
+                             "gallery HBM; accuracy measured in BASELINE.md)")
     parser.add_argument("--decode-masks", default=None, metavar="DIR",
                         help="also decode + save top-k candidate masks "
                         "(requires an index built --with-store)")
@@ -70,6 +73,7 @@ def main(argv=None):
         index,
         k=args.k,
         approx=args.approx,
+        quantize=args.int8,
         decode_dir=args.decode_masks,
         tokenizer_path=cfg.tokenizer_path,
     )

@@ -43,6 +43,7 @@ class RetrievalServer:
         index: Dict[str, np.ndarray],
         k: int = 10,
         approx: bool = False,
+        quantize: bool = False,
         decode_dir: Optional[str] = None,
         tokenizer_path: Optional[str] = None,
         mesh=None,
@@ -59,7 +60,7 @@ class RetrievalServer:
         self.params = params
         self.k = min(k, len(index["pair_ids"]))
         self.mesh = mesh if mesh is not None else make_mesh()
-        self.engine = RetrievalEngine(self.mesh, k=self.k, approx=approx)
+        self.engine = RetrievalEngine(self.mesh, k=self.k, approx=approx, quantize=quantize)
         self.engine.set_gallery(index["embeddings"])
         self.pair_ids = np.asarray(index["pair_ids"])
         self.store = index.get("store")  # [G, g, g, C] fp16 mmap or None

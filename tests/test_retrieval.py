@@ -163,6 +163,38 @@ def test_sharded_retrieve_approx_mode(rng):
     assert overlap >= 0.9
 
 
+def test_sharded_retrieve_int8_quantized(rng):
+    """quantize=True (int8 per-row gallery + in-graph query quantization)
+    keeps self-retrieval exact and near-perfect top-10 overlap with the fp32
+    engine, including the padded-row masking (G not divisible by 8)."""
+    mesh = make_mesh()
+    gallery = _normed(rng, 515, 64)  # 515 % 8 != 0 -> padded rows in shards
+    queries = gallery[:16]  # self-retrieval queries
+    exact = RetrievalEngine(mesh, k=10)
+    exact.set_gallery(gallery)
+    q8 = RetrievalEngine(mesh, k=10, quantize=True)
+    q8.set_gallery(gallery)
+    _, ei = exact.retrieve(jnp.asarray(queries))
+    qs, qi = q8.retrieve(jnp.asarray(queries))
+    ei, qi, qs = np.asarray(ei), np.asarray(qi), np.asarray(qs)
+    assert (qi >= 0).all()  # no padded row ever surfaces
+    assert (qi[:, 0] == np.arange(16)).all()  # self-retrieval@1 exact
+    overlap = np.mean([len(set(ei[i]) & set(qi[i])) / 10 for i in range(16)])
+    assert overlap >= 0.95
+    # scores are still cosines (rescaled int32 accumulations)
+    assert np.all(qs[:, 0] > 0.98) and np.all(qs <= 1.01)
+
+
+def test_int8_quantization_roundtrip_accuracy(rng):
+    from cor_tpu.retrieval.engine import quantize_rows_int8
+
+    emb = _normed(rng, 64, 256)
+    q, s = quantize_rows_int8(emb)
+    assert q.dtype == np.int8 and s.dtype == np.float32
+    back = q.astype(np.float32) * s[:, None]
+    assert np.max(np.abs(back - emb)) <= np.max(s) * 0.5 + 1e-7
+
+
 def test_gallery_index_build_save_load_serve(key, tmp_path):
     """Persistent gallery index: cli.index's build -> save -> load -> serve
     path gives EXACTLY the recalls of the one-pass protocol (same manifest),
