@@ -211,11 +211,31 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def fit(self, train_loader, val_loader, start_epoch: int = 1):
+        # Preemption safety beyond the reference (which only catches ^C,
+        # trainer_v3_g.py:146-168): TPU VMs/pods are terminated with SIGTERM
+        # plus a grace period — route it through the same emergency-save
+        # path so a preempted run leaves an interrupted_checkpoint_epoch_N
+        # to auto-resume from.
+        import signal
+
+        def _sigterm(signum, frame):
+            self.logger.warning(
+                "[Train Info]: SIGTERM (preemption?) — saving emergency checkpoint"
+            )
+            raise KeyboardInterrupt
+
+        prev_handler = None
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, _sigterm)
+        except ValueError:
+            pass  # not the main thread (e.g. under a test runner worker)
         try:
             for epoch in range(start_epoch, self.cfg.epoch + 1):
                 self.train_epoch(train_loader, epoch)
                 self.val_epoch(val_loader, epoch)
         finally:
+            if prev_handler is not None:
+                signal.signal(signal.SIGTERM, prev_handler)
             if self._profiling:
                 # --profile N exceeded the total number of train steps: close
                 # the trace so the capture is written rather than dangling

@@ -93,6 +93,53 @@ def test_trainer_e2e_with_checkpointing(tmp_path, tiny_synth_loaders):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_sigterm_preemption_saves_emergency_checkpoint(tmp_path, tiny_synth_loaders):
+    """SIGTERM mid-epoch (TPU preemption) routes through the emergency-save
+    path: an interrupted_checkpoint_epoch_N lands on disk and the signal
+    surfaces as KeyboardInterrupt (so the CLI exits with the same semantics
+    as the reference's ^C handler, trainer_v3_g.py:146-168)."""
+    import signal
+
+    train_loader, val_loader = tiny_synth_loaders
+    cfg = TrainConfig(
+        epoch=2, lr=1e-3, batch_size=8, train_model_save_epoch=5,
+        batch_record_interval=1, train_model_save_path=str(tmp_path),
+        compute_dtype="float32",
+    )
+    core_cfg = tiny_core_config()
+    params = init_core_model(jax.random.PRNGKey(0), core_cfg)
+    tx, sched = make_optimizer(
+        params, cfg.optimizer, cfg.lr, cfg.lr_scheduler, cfg.epoch, cfg.gradient_clip
+    )
+    trainer = Trainer(cfg, create_train_state(params, tx), tx, sched, logging.getLogger("test"))
+    trainer.core_cfg = core_cfg
+    trainer.train_step = __import__(
+        "cor_tpu.train.step", fromlist=["make_train_step"]
+    ).make_train_step(core_cfg, tx)
+    trainer.eval_step = __import__(
+        "cor_tpu.train.step", fromlist=["make_eval_step"]
+    ).make_eval_step(core_cfg)
+
+    class PreemptingLoader:
+        """Delivers one real batch, then raises SIGTERM in-process."""
+
+        def __len__(self):
+            return len(train_loader)
+
+        def __iter__(self):
+            it = iter(train_loader)
+            yield next(it)
+            signal.raise_signal(signal.SIGTERM)
+            yield next(it)  # unreachable: the handler raises first
+
+    prev = signal.getsignal(signal.SIGTERM)
+    with pytest.raises(KeyboardInterrupt):
+        trainer.fit(PreemptingLoader(), val_loader)
+    assert (tmp_path / "interrupted_checkpoint_epoch_1").exists()
+    # the previous SIGTERM disposition is restored on the way out
+    assert signal.getsignal(signal.SIGTERM) is prev
+
+
 def test_val_epoch_with_odd_length_on_mesh(tmp_path):
     """drop_last=False val loader whose final batch (3 samples) does not
     divide the 8-device mesh: padding + valid-masking keep the metric count
