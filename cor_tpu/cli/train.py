@@ -93,9 +93,10 @@ def main(argv=None):
         logger.info(f"Loaded SigLIP weights: {cfg.load_siglip_pretrained_checkpoint}")
 
     tx, schedule = make_optimizer(
-        params, cfg.optimizer, cfg.lr, cfg.lr_scheduler, cfg.epoch, cfg.gradient_clip
+        params, cfg.optimizer, cfg.lr, cfg.lr_scheduler, cfg.epoch, cfg.gradient_clip,
+        freeze_towers=cfg.freeze_towers,
     )
-    mask = trainable_mask(params)
+    mask = trainable_mask(params, cfg.freeze_towers)
     logger.info(
         f"params: {count_params(params):,} total, {count_params(params, mask):,} trainable"
     )

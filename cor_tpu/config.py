@@ -55,6 +55,9 @@ class TrainConfig:
 
     # runtime (cor_tpu additions)
     compute_dtype: str = "bfloat16"
+    # False = full fine-tune: the reference-frozen towers (SigLIP, image
+    # encoder, IoU head) also receive gradients/updates
+    freeze_towers: bool = True
     num_workers: int = 8
     mesh_data: Optional[int] = None  # None -> all devices
     mesh_model: int = 1
@@ -70,6 +73,7 @@ class TrainConfig:
             mask_pooling=self.mask_pooling,
             multimask_output=self.multimask_output,
             compute_dtype=self.compute_dtype,
+            freeze_towers=self.freeze_towers,
         )
 
 

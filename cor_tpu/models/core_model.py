@@ -67,6 +67,13 @@ class CoreConfig:
     fusion: str = "combiner"
     multimask_output: bool = False
     compute_dtype: str = "bfloat16"
+    # reference freezing (SigLIP + image encoder + IoU head,
+    # lib/build_model.py:112-120) as param-level stop_gradient. False = full
+    # fine-tune: every tower receives gradients — possible because the fused
+    # Pallas kernels carry XLA-oracle custom_vjps (cor_tpu.ops.diff). Pair
+    # with make_optimizer(freeze_towers=False). The PE gaussian matrix stays
+    # frozen either way (a buffer in the reference, never optimized).
+    freeze_towers: bool = True
     # explicit sub-config overrides (None -> derive from the names above);
     # used by tests and scaled-down experiments
     encoder_override: Optional[SamEncoderConfig] = None
@@ -94,10 +101,17 @@ class CoreConfig:
 
     @property
     def support(self) -> SupportBranchConfig:
-        return self.support_override or SupportBranchConfig(
+        if self.support_override is not None:
+            if not self.freeze_towers and self.support_override.freeze_siglip:
+                from dataclasses import replace
+
+                return replace(self.support_override, freeze_siglip=False)
+            return self.support_override
+        return SupportBranchConfig(
             siglip_model=self.siglip_model,
             mask_pooling=self.mask_pooling,
             fusion=self.fusion,
+            freeze_siglip=self.freeze_towers,
         )
 
     @property
@@ -144,10 +158,11 @@ def core_forward(
     # kernels inside the frozen towers. With param-level stop_gradient those
     # subgraphs are primal-only.
     p = dict(p)
-    p["image_encoder"] = jax.tree.map(jax.lax.stop_gradient, p["image_encoder"])
-    sb = dict(p["support_branch"])
-    sb["siglip"] = jax.tree.map(jax.lax.stop_gradient, sb["siglip"])
-    p["support_branch"] = sb
+    if cfg.freeze_towers:
+        p["image_encoder"] = jax.tree.map(jax.lax.stop_gradient, p["image_encoder"])
+        sb = dict(p["support_branch"])
+        sb["siglip"] = jax.tree.map(jax.lax.stop_gradient, sb["siglip"])
+        p["support_branch"] = sb
     # the PE gaussian matrix is a buffer in the reference, never optimized
     # (my_prompt_encoder.py:186-188); only no_mask_embed trains
     pe = dict(p["prompt_encoder"])
@@ -159,9 +174,9 @@ def core_forward(
     m = support_masks.astype(cdt)
 
     # frozen encoder: stop_gradient so the backward pass is never built
-    query_embeddings = jax.lax.stop_gradient(
-        sam_encoder(p["image_encoder"], q, cfg.encoder)
-    )  # [B, 64, 64, 256]
+    query_embeddings = sam_encoder(p["image_encoder"], q, cfg.encoder)
+    if cfg.freeze_towers:
+        query_embeddings = jax.lax.stop_gradient(query_embeddings)  # [B, 64, 64, 256]
 
     comb_support_feat = support_branch(
         p["support_branch"], s, text_tokens, m, cfg.support, key=key, train=train

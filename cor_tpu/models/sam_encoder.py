@@ -61,14 +61,20 @@ class SamEncoderConfig:
     window_size: int = 14
     global_attn_indexes: Tuple[int, ...] = (2, 5, 8, 11)
     ln_eps: float = 1e-6  # torch nn.LayerNorm default is 1e-5; SAM passes 1e-6
-    # Pallas VMEM-resident rel-pos attention (the encoder is frozen in CORE,
-    # so the forward-only kernel is safe on every path; small dims fall back)
+    # Pallas VMEM-resident rel-pos attention. Differentiable on every path:
+    # the kernel forward carries an XLA-oracle custom_vjp (cor_tpu.ops.diff),
+    # so this stays on even for unfrozen fine-tunes; small dims fall back
     fused_attention: bool = True
     # per-block rematerialization. Free on CORE's train path (the encoder
     # output is stop_gradient'ed so no backward — and therefore no remat
     # recomputation — is ever built), but the toggle lets an unfrozen
     # fine-tune or a measurement turn it off
     remat_blocks: bool = True
+    # single-pass VMEM LayerNorms (ops/pallas/layernorm): XLA's LN upcasts
+    # the [B, 4096, 768] bf16 operand to fp32 through HBM; the kernel reads
+    # once/writes once. Differentiable (oracle-VJP), numerics identical to
+    # ops.common.layer_norm (fp32 statistics)
+    fused_layernorm: bool = True
     # fold the window partition into the Pallas kernel's block index maps
     # (attention_2d_fused window= path) instead of XLA partition transposes.
     # Measured 7% SLOWER end-to-end at B=8 (103.8 vs 96.9 ms): the aligned
@@ -155,9 +161,17 @@ def _patch_embed(p: Params, x: jax.Array, patch: int) -> jax.Array:
     return dense(p, x)  # [B, gh, gw, embed_dim]
 
 
+def _ln(p: Params, x: jax.Array, cfg: SamEncoderConfig, eps: float) -> jax.Array:
+    if cfg.fused_layernorm:
+        from cor_tpu.ops.pallas.layernorm import layer_norm_pallas
+
+        return layer_norm_pallas(x, p["scale"], p["bias"], eps=eps)
+    return layer_norm(p, x, eps=eps)
+
+
 def _block(bp: Params, x: jax.Array, cfg: SamEncoderConfig, window: int) -> jax.Array:
     shortcut = x
-    x = layer_norm(bp["norm1"], x, eps=cfg.ln_eps)
+    x = _ln(bp["norm1"], x, cfg, cfg.ln_eps)
     if cfg.fused_attention and window > 0 and cfg.fused_window_indexing:
         # opt-in: partition folded into the kernel's block index maps
         # (measured slower end-to-end — see the config field's comment)
@@ -171,7 +185,7 @@ def _block(bp: Params, x: jax.Array, cfg: SamEncoderConfig, window: int) -> jax.
         if window > 0:
             x = window_unpartition(x, window, pad_hw, (H, W))
     x = shortcut + x
-    x = x + mlp_block(bp["mlp"], layer_norm(bp["norm2"], x, eps=cfg.ln_eps))
+    x = x + mlp_block(bp["mlp"], _ln(bp["norm2"], x, cfg, cfg.ln_eps))
     return x
 
 
@@ -193,7 +207,7 @@ def sam_encoder(p: Params, x: jax.Array, cfg: SamEncoderConfig) -> jax.Array:
 
     n = p["neck"]
     x = conv2d(n["conv1"], x)
-    x = layer_norm(n["ln1"], x, eps=1e-6)
+    x = _ln(n["ln1"], x, cfg, 1e-6)
     x = conv2d(n["conv2"], x, padding=1)
-    x = layer_norm(n["ln2"], x, eps=1e-6)
+    x = _ln(n["ln2"], x, cfg, 1e-6)
     return x

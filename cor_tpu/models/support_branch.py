@@ -45,6 +45,10 @@ class SupportBranchConfig:
     prompt_dim: int = 256
     proj_hidden: int = 512
     proj_dropout: float = 0.8
+    # cut gradients at the SigLIP boundary (the reference runs the tower
+    # under @torch.no_grad, siglip_openclip.py:22,46). False = the tower
+    # trains (full fine-tune; see CoreConfig.freeze_towers)
+    freeze_siglip: bool = True
     siglip_override: Optional[SigLIPConfig] = None  # tests / scaled-down runs
     adapter_override: Optional[MaskAdapterConfig] = None
 
@@ -114,9 +118,10 @@ def support_branch(
     )
     # SigLIP is frozen; cut gradients at the tower boundary
     # (reference runs it under @torch.no_grad — siglip_openclip.py:22,46)
-    image_feat = jax.lax.stop_gradient(image_feat)
-    text_feat = jax.lax.stop_gradient(text_feat)
-    grid = jax.lax.stop_gradient(grid)
+    if cfg.freeze_siglip:
+        image_feat = jax.lax.stop_gradient(image_feat)
+        text_feat = jax.lax.stop_gradient(text_feat)
+        grid = jax.lax.stop_gradient(grid)
 
     grid = layer_norm(p["ln_channel_first"], grid, eps=1e-6)
     if cfg.mask_pooling == "MaskAdapterPooling":

@@ -18,6 +18,7 @@ implementation and the numerics oracle for that kernel.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -130,7 +131,7 @@ def init_attention_2d(
     return p
 
 
-def attention_2d_fused(
+def _attention_2d_fused_impl(
     p: Params, x: jax.Array, num_heads: int, window: int = 0
 ) -> jax.Array:
     """attention_2d via the Pallas VMEM-resident rel-pos kernel
@@ -244,6 +245,34 @@ def attention_2d_fused(
     return dense(p["proj"], out.reshape(B, H, W, C))
 
 
+@functools.lru_cache(maxsize=None)
+def _attention_2d_fused_diff(num_heads: int, window: int):
+    from cor_tpu.ops.diff import with_oracle_vjp
+
+    def oracle(p, x):
+        if window > 0:
+            H, W = x.shape[1], x.shape[2]
+            xw, pad_hw = window_partition(x, window)
+            xw = attention_2d(p, xw, num_heads)
+            return window_unpartition(xw, window, pad_hw, (H, W))
+        return attention_2d(p, x, num_heads)
+
+    return with_oracle_vjp(
+        lambda p, x: _attention_2d_fused_impl(p, x, num_heads, window), oracle
+    )
+
+
+def attention_2d_fused(
+    p: Params, x: jax.Array, num_heads: int, window: int = 0
+) -> jax.Array:
+    """Differentiable front door for the Pallas rel-pos attention: the kernel
+    runs the forward; ``jax.grad`` routes through the VJP of the attention_2d
+    XLA oracle (checkpoint-style recompute from the saved inputs), so an
+    unfrozen fine-tune does not have to disable the fused path
+    (cor_tpu.ops.diff.with_oracle_vjp)."""
+    return _attention_2d_fused_diff(num_heads, window)(p, x)
+
+
 def attention_2d(p: Params, x: jax.Array, num_heads: int) -> jax.Array:
     """Multi-head self-attention over an NHWC token grid with optional
     decomposed rel-pos bias (reference: lib/sam_model/image_encoder.py:225-241).
@@ -348,16 +377,34 @@ def init_attention_seq(key: jax.Array, dim: int, qkv_bias: bool = True) -> Param
     }
 
 
+def attention_seq_qkv_xla(qkv: jax.Array, num_heads: int) -> jax.Array:
+    """XLA numerics oracle for attention_seq_qkv_pallas: softmax(qk^T)v on a
+    fused-QKV operand [B, N, 3C] (q | k | v thirds, heads contiguous)."""
+    C = qkv.shape[-1] // 3
+    q, k, v = qkv[..., :C], qkv[..., C : 2 * C], qkv[..., 2 * C :]
+    return attention_heads(q, k, v, num_heads)
+
+
+@functools.lru_cache(maxsize=None)
+def _attention_seq_core_diff(num_heads: int):
+    from cor_tpu.ops.diff import with_oracle_vjp
+    from cor_tpu.ops.pallas.seq_attention import attention_seq_qkv_pallas
+
+    return with_oracle_vjp(
+        lambda qkv: attention_seq_qkv_pallas(qkv, num_heads),
+        lambda qkv: attention_seq_qkv_xla(qkv, num_heads),
+    )
+
+
 def attention_seq(p: Params, x: jax.Array, num_heads: int) -> jax.Array:
     """Standard fused-QKV self-attention over [B, N, C] (no mask).
 
     The softmax(qk^T)v core runs as a Pallas whole-sequence-in-VMEM kernel —
     XLA would round-trip the fp32 [B, H, N, N] logits through HBM, which
-    dominates the SigLIP towers' runtime. Only used under frozen towers
-    (stop_gradient), so the forward-only kernel is safe on training paths.
+    dominates the SigLIP towers' runtime. The core is differentiable via the
+    XLA-oracle VJP (cor_tpu.ops.diff), so unfrozen fine-tunes keep the fused
+    path; under the reference's frozen towers the backward is never built.
     """
-    from cor_tpu.ops.pallas.seq_attention import attention_seq_qkv_pallas
-
     qkv = dense(p["qkv"], x)  # [B, N, 3C], heads contiguous per third
-    out = attention_seq_qkv_pallas(qkv, num_heads)
+    out = _attention_seq_core_diff(num_heads)(qkv)
     return dense(p["proj"], out)

@@ -54,7 +54,9 @@ def _row_tiling(n_rows: int, c: int):
 
 
 @functools.partial(jax.jit, static_argnames=("eps",))
-def layer_norm_pallas(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float = 1e-6):
+def _layer_norm_pallas_impl(
+    x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float = 1e-6
+):
     """LayerNorm over the last axis. x: [..., C]."""
     orig_shape = x.shape
     c = orig_shape[-1]
@@ -81,7 +83,7 @@ def layer_norm_pallas(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: floa
 
 
 @functools.partial(jax.jit, static_argnames=("eps",))
-def add_layer_norm_pallas(
+def _add_layer_norm_pallas_impl(
     x: jax.Array, y: jax.Array, scale: jax.Array, bias: jax.Array, eps: float = 1e-6
 ):
     """LayerNorm(x + y) over the last axis, fused (residual + norm)."""
@@ -109,3 +111,42 @@ def add_layer_norm_pallas(
         interpret=_interpret(),
     )(x2, y2, scale, bias)
     return out.reshape(orig_shape)
+
+
+# ---------------------------------------------------------------------------
+# differentiable public entry points (kernel forward, XLA-oracle backward)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _ln_diff(eps: float):
+    from cor_tpu.ops.common import layer_norm
+    from cor_tpu.ops.diff import with_oracle_vjp
+
+    return with_oracle_vjp(
+        lambda x, s, b: _layer_norm_pallas_impl(x, s, b, eps=eps),
+        lambda x, s, b: layer_norm({"scale": s, "bias": b}, x, eps=eps),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _add_ln_diff(eps: float):
+    from cor_tpu.ops.common import layer_norm
+    from cor_tpu.ops.diff import with_oracle_vjp
+
+    return with_oracle_vjp(
+        lambda x, y, s, b: _add_layer_norm_pallas_impl(x, y, s, b, eps=eps),
+        lambda x, y, s, b: layer_norm({"scale": s, "bias": b}, x + y, eps=eps),
+    )
+
+
+def layer_norm_pallas(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float = 1e-6):
+    """LayerNorm over the last axis, differentiable (oracle-VJP backward)."""
+    return _ln_diff(eps)(x, scale, bias)
+
+
+def add_layer_norm_pallas(
+    x: jax.Array, y: jax.Array, scale: jax.Array, bias: jax.Array, eps: float = 1e-6
+):
+    """LayerNorm(x + y), fused forward, differentiable (oracle-VJP backward)."""
+    return _add_ln_diff(eps)(x, y, scale, bias)

@@ -10,8 +10,10 @@ the [N, D] output cross HBM.
 
 The caller flattens (batch, head) into the leading axis and zero-pads
 head_dim to 128 lanes (zero pads don't change q @ k^T, and padded v columns
-produce ignored zeros). Used only under the frozen towers (stop_gradient),
-so forward-only is safe on every path.
+produce ignored zeros). The kernels are forward-only; the public entry
+(cor_tpu.ops.attention.attention_seq) wraps the core in an XLA-oracle
+custom_vjp (cor_tpu.ops.diff), so unfrozen fine-tunes differentiate through
+it — under the reference's frozen towers the backward is never built.
 """
 
 from __future__ import annotations

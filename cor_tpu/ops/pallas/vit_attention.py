@@ -22,9 +22,11 @@ bf16). The factor widths are zero-padded so the concatenated contraction is
 lane-aligned (14x14 windows: 64+32+32 = 128 exactly).
 
 Heads are addressed as 128-lane pairs off the fused-QKV GEMM and split
-in-register. Forward-only; the image encoder is frozen (param-level
-stop_gradient), so this runs on every path. Falls back to interpreter mode
-off-TPU.
+in-register. The kernel itself is forward-only; the public entry
+(cor_tpu.ops.attention.attention_2d_fused) wraps it with an XLA-oracle
+custom_vjp (cor_tpu.ops.diff) so jax.grad works for unfrozen fine-tunes —
+the reference freezes the encoder, so CORE training never builds this
+backward. Falls back to interpreter mode off-TPU.
 """
 
 from __future__ import annotations

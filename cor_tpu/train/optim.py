@@ -41,6 +41,10 @@ FROZEN_PREFIXES = (
     ("prompt_encoder", "pe_layer"),
 )
 
+# full fine-tune (CoreConfig.freeze_towers=False): everything trains except
+# true buffers
+BUFFER_PREFIXES = (("prompt_encoder", "pe_layer"),)
+
 
 def _path_tuple(path) -> tuple:
     out = []
@@ -54,17 +58,20 @@ def _path_tuple(path) -> tuple:
     return tuple(out)
 
 
-def is_trainable(path) -> bool:
+def is_trainable(path, freeze_towers: bool = True) -> bool:
     pt = _path_tuple(path)
-    for prefix in FROZEN_PREFIXES:
+    prefixes = FROZEN_PREFIXES if freeze_towers else BUFFER_PREFIXES
+    for prefix in prefixes:
         if pt[: len(prefix)] == prefix:
             return False
     return True
 
 
-def trainable_mask(params) -> Any:
+def trainable_mask(params, freeze_towers: bool = True) -> Any:
     """Pytree of bools: True where the leaf receives updates."""
-    return jax.tree_util.tree_map_with_path(lambda path, _: is_trainable(path), params)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: is_trainable(path, freeze_towers), params
+    )
 
 
 def count_params(params, mask=None) -> int:
@@ -162,6 +169,7 @@ def make_optimizer(
     epochs: int = 15,
     gradient_clip: float = 0.5,
     weight_decay: float = 1e-2,
+    freeze_towers: bool = True,
 ) -> tuple[optax.GradientTransformation, Callable]:
     """Returns (tx, lr_schedule). The transformation expects an `epoch` value
     injected via optax.inject_hyperparams-style state: we use a schedule on a
@@ -188,5 +196,5 @@ def make_optimizer(
         raise ValueError(f"Unknown optimizer: {optimizer}")
 
     tx = optax.chain(clip_by_value(gradient_clip), base)
-    tx = optax.masked(tx, trainable_mask(params))
+    tx = optax.masked(tx, trainable_mask(params, freeze_towers))
     return tx, schedule

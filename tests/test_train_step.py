@@ -177,3 +177,45 @@ def test_eval_step_returns_weighted_sums(key, rng):
     for k in ("dice", "mae", "iou", "mdice", "miou"):
         assert np.isfinite(float(sums[k]))
         assert 0.0 <= float(sums[k]) / 4.0 <= 1.0
+
+
+def test_unfrozen_full_fine_tune_step(key, rng):
+    """CoreConfig(freeze_towers=False) + make_optimizer(freeze_towers=False):
+    the reference-frozen towers receive real updates (possible because the
+    fused Pallas kernels carry oracle-VJP custom_vjps — cor_tpu.ops.diff),
+    while the PE gaussian buffer stays bit-frozen."""
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_core_config(), freeze_towers=False)
+    params = init_core_model(key, cfg)
+    tx, _ = make_optimizer(params, optimizer="AdamW", lr=3e-3, freeze_towers=False)
+    state = create_train_state(params, tx)
+    train_step = make_train_step(cfg, tx)
+    batch = _jax_batch(tiny_batch(rng, batch=2))
+
+    enc_before = jax.tree.map(np.asarray, state.params["image_encoder"])
+    sig_before = jax.tree.map(np.asarray, state.params["support_branch"]["siglip"])
+    pe_before = jax.tree.map(np.asarray, state.params["prompt_encoder"]["pe_layer"])
+
+    state, metrics = train_step(state, batch, jax.random.PRNGKey(1), jnp.float32(3e-3))
+    loss = float(metrics["total_loss"])
+    assert np.isfinite(loss)
+
+    def _changed(before, after):
+        return any(
+            not np.array_equal(a, np.asarray(b))
+            for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after))
+        )
+
+    assert _changed(enc_before, state.params["image_encoder"]), (
+        "unfrozen image encoder received no update"
+    )
+    assert _changed(sig_before, state.params["support_branch"]["siglip"]), (
+        "unfrozen SigLIP received no update"
+    )
+    # the PE gaussian matrix is a buffer — frozen even in full fine-tune
+    for a, b in zip(
+        jax.tree.leaves(pe_before),
+        jax.tree.leaves(state.params["prompt_encoder"]["pe_layer"]),
+    ):
+        np.testing.assert_array_equal(a, np.asarray(b))

@@ -26,6 +26,12 @@ def main():
     ap.add_argument("--batches", default="2,4,8,10,16")
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--compare-remat", action="store_true")
+    ap.add_argument("--compare-ln", action="store_true",
+                    help="also time B=8 with the encoder's Pallas LayerNorms off")
+    ap.add_argument("--unfrozen", action="store_true",
+                    help="time the FULL fine-tune step (freeze_towers=False: "
+                         "backward through SAM encoder + SigLIP via the "
+                         "kernels' oracle-VJP custom_vjps)")
     args = ap.parse_args()
 
     import jax
@@ -53,7 +59,7 @@ def main():
 
     def run(cfg: CoreConfig, B: int, steps: int):
         params = init_core_model(jax.random.PRNGKey(0), cfg)
-        tx, _ = make_optimizer(params)
+        tx, _ = make_optimizer(params, freeze_towers=cfg.freeze_towers)
         train_step = make_train_step(cfg, tx)
         batch = {
             "query_img": jnp.asarray(
@@ -115,6 +121,22 @@ def main():
     results = []
     for B in [int(b) for b in args.batches.split(",")]:
         r = run(base, B, args.steps)
+        print(json.dumps(r), flush=True)
+        results.append(r)
+
+    if args.unfrozen:
+        unfrozen = replace(base, freeze_towers=False)
+        r = run(unfrozen, 8, args.steps)
+        r["variant"] = "unfrozen_full_fine_tune"
+        print(json.dumps(r), flush=True)
+        results.append(r)
+
+    if args.compare_ln:
+        xla_ln = replace(
+            base, encoder_override=replace(base.encoder, fused_layernorm=False)
+        )
+        r = run(xla_ln, 8, args.steps)
+        r["variant"] = "encoder_xla_layernorm"
         print(json.dumps(r), flush=True)
         results.append(r)
 
