@@ -265,12 +265,20 @@ def _attention_2d_fused_diff(num_heads: int, window: int):
 def attention_2d_fused(
     p: Params, x: jax.Array, num_heads: int, window: int = 0
 ) -> jax.Array:
-    """Differentiable front door for the Pallas rel-pos attention: the kernel
-    runs the forward; ``jax.grad`` routes through the VJP of the attention_2d
-    XLA oracle (checkpoint-style recompute from the saved inputs), so an
-    unfrozen fine-tune does not have to disable the fused path
-    (cor_tpu.ops.diff.with_oracle_vjp)."""
-    return _attention_2d_fused_diff(num_heads, window)(p, x)
+    """Differentiable front door for the Pallas rel-pos attention.
+
+    window == 0 (the production path — global blocks, and windowed blocks
+    after the XLA partition): fully differentiable; the kernel carries a
+    REAL flash-backward Pallas kernel (vit_attention._kernel_bwd), so an
+    unfrozen fine-tune's encoder backward never materializes the
+    [B*heads, N, N] fp32 logits the XLA oracle would.
+
+    window > 0 (the opt-in fused_window_indexing formulation): the windows
+    kernel is forward-only; gradients route through the XLA oracle's VJP
+    (cor_tpu.ops.diff.with_oracle_vjp, checkpoint-style recompute)."""
+    if window > 0:
+        return _attention_2d_fused_diff(num_heads, window)(p, x)
+    return _attention_2d_fused_impl(p, x, num_heads, 0)
 
 
 def attention_2d(p: Params, x: jax.Array, num_heads: int) -> jax.Array:

@@ -22,11 +22,12 @@ bf16). The factor widths are zero-padded so the concatenated contraction is
 lane-aligned (14x14 windows: 64+32+32 = 128 exactly).
 
 Heads are addressed as 128-lane pairs off the fused-QKV GEMM and split
-in-register. The kernel itself is forward-only; the public entry
-(cor_tpu.ops.attention.attention_2d_fused) wraps it with an XLA-oracle
-custom_vjp (cor_tpu.ops.diff) so jax.grad works for unfrozen fine-tunes —
-the reference freezes the encoder, so CORE training never builds this
-backward. Falls back to interpreter mode off-TPU.
+in-register. vit_attention_relpos_pallas is DIFFERENTIABLE: its custom_vjp
+backward is the flash-backward Pallas kernel at the bottom of this file
+(dq/dk/dv/drel in VMEM, no [B*heads, N, N] HBM materialization) — the
+reference freezes the encoder so CORE training never builds it, but an
+unfrozen fine-tune (CoreConfig.freeze_towers=False) runs it on every step.
+Falls back to interpreter mode off-TPU.
 """
 
 from __future__ import annotations
@@ -218,7 +219,7 @@ def _pad_cols(x: jax.Array, to: int) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads",))
-def vit_attention_relpos_pallas(
+def _vit_attention_relpos_pallas_impl(
     qkv: jax.Array,  # [B, N, 3C] fused-QKV GEMM output
     rel_h: jax.Array,  # [B, HEADS, N, Kh] bias factors (einsum(q, Rh)), compute dtype
     rel_w: jax.Array,  # [B, HEADS, N, Kw]
@@ -279,3 +280,201 @@ def vit_attention_relpos_pallas(
         interpret=_interpret(),
     )(qkv, qkv, qkv, rel_h, rel_w, eh_t, ew_t)
     return out
+
+
+# ---------------------------------------------------------------------------
+# flash backward: real gradients for unfrozen fine-tunes
+# ---------------------------------------------------------------------------
+#
+# The forward computes, per head, o = softmax(qcat @ kcat^T) v with
+# qcat = [q*scale | rel_h | rel_w] and kcat = [k | Eh^T | Ew^T] - colmean.
+# The backward is the standard attention VJP on the CONCATENATED operands:
+#
+#   a   = softmax(l)                       (recomputed per q-tile; the whole
+#                                           [Tq, N] row fits VMEM, so no
+#                                           flash statistics are needed)
+#   da  = do @ v^T
+#   dl  = a * (da - rowsum(a*da))
+#   dqcat = dl @ kcat   ->  dq = dqcat[:, :D] * scale,
+#                           drel_h/drel_w = the factor column blocks
+#   dk  = dl^T @ (q*scale),   dv = a^T @ do     (accumulated over q-tiles)
+#
+# Two identities make the mean-shifted kcat gradient-transparent:
+# rowsum(dl) = 0 exactly, so dl @ kcat equals dl @ kcat_raw and
+# colmean(dl^T @ qcat) = 0 — no shift-correction terms anywhere. The
+# indicator columns Eh/Ew are integer-derived constants (zero cotangent).
+
+
+def _kernel_bwd(
+    q_ref, k_ref, v_ref, rh_ref, rw_ref, eht_ref, ewt_ref, do_ref,
+    dq_ref, drh_ref, drw_ref, dk_ref, dv_ref, kcat_ref,
+    *, scale, head_dim, khp, kwp,
+):
+    t = pl.program_id(2)
+    q2 = q_ref[0]  # [Tq, 128] head pair
+    v2 = v_ref[0]  # [N, 128]
+    do2 = do_ref[0]  # [Tq, 128]
+
+    @pl.when(t == 0)
+    def _build_kcat():
+        k2 = k_ref[0]
+        eht = eht_ref[:]
+        ewt = ewt_ref[:]
+        for h in range(128 // head_dim):
+            sl = slice(h * head_dim, (h + 1) * head_dim)
+            kcat = jnp.concatenate([k2[:, sl], eht, ewt], axis=1)
+            kcat_ref[h] = kcat - jnp.mean(kcat, axis=0, keepdims=True)
+
+    dqs, drhs, drws, dks, dvs = [], [], [], [], []
+    for h in range(128 // head_dim):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        qs = q2[:, sl] * scale  # [Tq, D]
+        qcat = jnp.concatenate([qs, rh_ref[0, h], rw_ref[0, h]], axis=1)
+        kcat = kcat_ref[h]
+        l = jax.lax.dot_general(
+            qcat, kcat, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Tq, N] fp32, rows ~zero-mean via the kcat shift
+        e = jnp.exp(l)
+        a = e / jnp.sum(e, axis=-1, keepdims=True)  # [Tq, N] fp32
+        da = jax.lax.dot_general(
+            do2[:, sl], v2[:, sl], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Tq, N]
+        dl = a * (da - jnp.sum(a * da, axis=-1, keepdims=True))
+        dlc = dl.astype(q2.dtype)
+        ac = a.astype(q2.dtype)
+        dqcat = jnp.dot(dlc, kcat, preferred_element_type=jnp.float32)  # [Tq, Dext]
+        dqs.append((dqcat[:, :head_dim] * scale).astype(q2.dtype))
+        drhs.append(dqcat[:, head_dim : head_dim + khp])
+        drws.append(dqcat[:, head_dim + khp : head_dim + khp + kwp])
+        # contractions over the q-tile axis (no explicit transposes)
+        dks.append(
+            jax.lax.dot_general(
+                dlc, qs, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )  # [N, D]
+        dvs.append(
+            jax.lax.dot_general(
+                ac, do2[:, sl], dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )  # [N, D]
+
+    dq_ref[0] = jnp.concatenate(dqs, axis=-1)
+    drh_ref[0] = jnp.stack(drhs, axis=0).astype(drh_ref.dtype)
+    drw_ref[0] = jnp.stack(drws, axis=0).astype(drw_ref.dtype)
+    dk_full = jnp.concatenate(dks, axis=-1).astype(dk_ref.dtype)
+    dv_full = jnp.concatenate(dvs, axis=-1).astype(dv_ref.dtype)
+
+    @pl.when(t == 0)
+    def _init_acc():
+        dk_ref[0] = dk_full
+        dv_ref[0] = dv_full
+
+    @pl.when(t > 0)
+    def _acc():
+        dk_ref[0] += dk_full
+        dv_ref[0] += dv_full
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads",))
+def _vit_attention_relpos_bwd(
+    qkv: jax.Array,
+    rel_h: jax.Array,
+    rel_w: jax.Array,
+    eh: jax.Array,
+    ew: jax.Array,
+    do: jax.Array,  # [B, N, C] cotangent of the kernel output
+    num_heads: int,
+):
+    """Returns (dqkv [B, N, 3C], drel_h, drel_w) for vit_attention_relpos_pallas."""
+    B, N, C3 = qkv.shape
+    C = C3 // 3
+    D = C // num_heads
+    Kh = rel_h.shape[-1]
+    Kw = rel_w.shape[-1]
+    P = C // 128
+    hpp = 128 // D
+    Khp = -(-Kh // 32) * 32
+    Kwp = -(-Kw // 32) * 32
+    dt = qkv.dtype
+    rel_h_p = _pad_cols(rel_h.astype(dt), Khp)
+    rel_w_p = _pad_cols(rel_w.astype(dt), Kwp)
+    eh_t = _pad_cols(eh.T.astype(dt), Khp)
+    ew_t = _pad_cols(ew.T.astype(dt), Kwp)
+
+    tq = N
+    while tq > 512 and N % (tq // 2) == 0 and tq % 2 == 0:
+        tq //= 2
+
+    qspec = pl.BlockSpec((1, tq, 128), lambda i, j, t: (i, t, j), memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, N, 128), lambda i, j, t: (i, 0, P + j), memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((1, N, 128), lambda i, j, t: (i, 0, 2 * P + j), memory_space=pltpu.VMEM)
+    rhspec = pl.BlockSpec(
+        (1, hpp, tq, Khp), lambda i, j, t: (i, j, t, 0), memory_space=pltpu.VMEM
+    )
+    rwspec = pl.BlockSpec(
+        (1, hpp, tq, Kwp), lambda i, j, t: (i, j, t, 0), memory_space=pltpu.VMEM
+    )
+
+    dq, drh, drw, dk, dv = pl.pallas_call(
+        functools.partial(_kernel_bwd, scale=1.0 / (D**0.5), head_dim=D, khp=Khp, kwp=Kwp),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, C), dt),  # dq
+            jax.ShapeDtypeStruct((B, num_heads, N, Khp), jnp.float32),  # drel_h
+            jax.ShapeDtypeStruct((B, num_heads, N, Kwp), jnp.float32),  # drel_w
+            jax.ShapeDtypeStruct((B, N, C), jnp.float32),  # dk (fp32 accum)
+            jax.ShapeDtypeStruct((B, N, C), jnp.float32),  # dv (fp32 accum)
+        ),
+        grid=(B, P, N // tq),
+        scratch_shapes=[pltpu.VMEM((hpp, N, D + Khp + Kwp), dt)],
+        in_specs=[qspec, kspec, vspec, rhspec, rwspec,
+                  pl.BlockSpec((N, Khp), lambda i, j, t: (0, 0), memory_space=pltpu.VMEM),
+                  pl.BlockSpec((N, Kwp), lambda i, j, t: (0, 0), memory_space=pltpu.VMEM),
+                  qspec],
+        out_specs=(
+            qspec,
+            rhspec,
+            rwspec,
+            pl.BlockSpec((1, N, 128), lambda i, j, t: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, 128), lambda i, j, t: (i, 0, j), memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(qkv, qkv, qkv, rel_h_p, rel_w_p, eh_t, ew_t, do)
+
+    dqkv = jnp.concatenate([dq.astype(dt), dk.astype(dt), dv.astype(dt)], axis=-1)
+    return dqkv, drh[..., :Kh].astype(rel_h.dtype), drw[..., :Kw].astype(rel_w.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _vit_attention_diff(num_heads: int):
+    @jax.custom_vjp
+    def f(qkv, rel_h, rel_w, eh, ew):
+        return _vit_attention_relpos_pallas_impl(qkv, rel_h, rel_w, eh, ew, num_heads)
+
+    def fwd(qkv, rel_h, rel_w, eh, ew):
+        return f(qkv, rel_h, rel_w, eh, ew), (qkv, rel_h, rel_w, eh, ew)
+
+    def bwd(res, do):
+        qkv, rel_h, rel_w, eh, ew = res
+        dqkv, drh, drw = _vit_attention_relpos_bwd(
+            qkv, rel_h, rel_w, eh, ew, do.astype(qkv.dtype), num_heads
+        )
+        # the indicator matrices are integer-derived constants
+        return dqkv, drh, drw, jnp.zeros_like(eh), jnp.zeros_like(ew)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def vit_attention_relpos_pallas(qkv, rel_h, rel_w, eh, ew, num_heads: int):
+    """Differentiable entry: Pallas forward + the flash backward kernel above
+    (NOT an XLA-oracle recompute — the oracle backward materializes
+    [B*heads, N, N] fp32 logits through HBM twice)."""
+    return _vit_attention_diff(num_heads)(qkv, rel_h, rel_w, eh, ew)

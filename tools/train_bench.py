@@ -126,10 +126,11 @@ def main():
 
     if args.unfrozen:
         unfrozen = replace(base, freeze_towers=False)
-        r = run(unfrozen, 8, args.steps)
-        r["variant"] = "unfrozen_full_fine_tune"
-        print(json.dumps(r), flush=True)
-        results.append(r)
+        for B in [int(b) for b in args.batches.split(",")]:
+            r = run(unfrozen, B, args.steps)
+            r["variant"] = "unfrozen_full_fine_tune"
+            print(json.dumps(r), flush=True)
+            results.append(r)
 
     if args.compare_ln:
         xla_ln = replace(
