@@ -144,6 +144,15 @@ def test_config_roundtrip(tmp_path):
     with pytest.raises(ValueError, match="not_a_key"):
         load_train_config(bad)
 
+    # encoder_remat knob reaches the model config (None = model default True)
+    from cor_tpu.config import TrainConfig
+
+    assert TrainConfig().core_config().encoder.remat_blocks is True
+    assert (
+        TrainConfig(encoder_remat=False).core_config().encoder.remat_blocks
+        is False
+    )
+
 
 def test_pred_mask_filename_parity(tmp_path, tiny_predict):
     """Dump filenames are {pair_id}_{query_mask_name} exactly like the

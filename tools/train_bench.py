@@ -150,6 +150,15 @@ def main():
         r["variant"] = "remat_off"
         print(json.dumps(r), flush=True)
         results.append(r)
+        if args.unfrozen:
+            # unfrozen is where remat actually costs FLOPs (the encoder has
+            # a real backward); off may win if activations fit HBM
+            uf = replace(no_remat, freeze_towers=False)
+            for B in [int(b) for b in args.batches.split(",")]:
+                r = run(uf, B, args.steps)
+                r["variant"] = "unfrozen_remat_off"
+                print(json.dumps(r), flush=True)
+                results.append(r)
 
     print(json.dumps({"all": results}))
 
