@@ -127,6 +127,26 @@ def test_attention_2d_fused_grad_global(key, rng):
     _tree_allclose(g_fused, g_oracle, atol=1e-5, rtol=1e-4)
 
 
+def test_attention_2d_fused_grad_global_multitile(key, rng):
+    # N=1024 > 512 forces the flash backward's q-tile loop (tq=512, t=2):
+    # exercises the cross-tile dk/dv VMEM accumulation the N=64 test never
+    # reaches (the production 4096-token global blocks run t=8)
+    p = init_attention_2d(key, 128, 2, use_rel_pos=True, input_size=(32, 32))
+    for k in ("rel_pos_h", "rel_pos_w"):
+        p[k] = jnp.asarray(rng.standard_normal(p[k].shape).astype(np.float32) * 0.3)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 128)).astype(np.float32) * 0.3)
+
+    def loss_fused(p, x):
+        return jnp.mean(attention_2d_fused(p, x, 2) ** 2)
+
+    def loss_oracle(p, x):
+        return jnp.mean(attention_2d(p, x, 2) ** 2)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1))(p, x)
+    g_oracle = jax.grad(loss_oracle, argnums=(0, 1))(p, x)
+    _tree_allclose(g_fused, g_oracle, atol=1e-5, rtol=1e-4)
+
+
 def test_attention_2d_fused_grad_windowed(key, rng):
     # the fused_window_indexing formulation (window partition inside the
     # kernel's index maps) against the XLA partition + attention_2d oracle
