@@ -80,6 +80,42 @@ _T = 8  # padded token count (6 real: iou + 4 mask + 1 prompt)
 _TILE = 1024
 _GROUP = 4  # candidates per grid step (token-GEMM amortization factor)
 
+# Scheduling experiment knobs, A/B-able on-chip via tools/decode_bench.py.
+# The layer kernel's measured per-step cost is DMA(16 MB keys in+out) +
+# compute SERIAL — these probe whether Mosaic can be told to overlap them:
+# `dimension_semantics=("parallel",)` declares grid steps independent;
+# `cost_estimate=True` attaches a pl.CostEstimate so the scheduler knows the
+# body's FLOP/byte mix.
+KERNEL_OPTS = {
+    "dimension_semantics": None,  # e.g. ("parallel",) or ("arbitrary",)
+    "cost_estimate": False,
+}
+
+
+def _compiler_params(vmem_limit: int) -> "pltpu.CompilerParams":
+    sem = KERNEL_OPTS.get("dimension_semantics")
+    if sem is not None:
+        return pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit, dimension_semantics=sem
+        )
+    return pltpu.CompilerParams(vmem_limit_bytes=vmem_limit)
+
+
+def _cost_estimate(G: int, N: int, C: int, I: int, n_layers: int = 1):
+    """Approximate per-call cost of the fused layer (grid total): the image
+    side dominates — per candidate per layer, the packed [N,C]x[C,3I]
+    projection (2*N*C*3I), the o2 [N,I]x[I,C] projection (2*N*I*C), the i2t
+    logits/AV GEMMs (~4*N*I*64), and the keys round trip (2*N*C bf16 each
+    way)."""
+    if not KERNEL_OPTS.get("cost_estimate"):
+        return None
+    per_cand = 2 * N * C * 3 * I + 2 * N * I * C + 4 * N * I * 64
+    return pl.CostEstimate(
+        flops=int(per_cand * G * n_layers),
+        bytes_accessed=int(G * (2 * N * C * 2) * n_layers + 8 * 1024 * 1024),
+        transcendentals=int(G * N * 64 * 2 * n_layers),
+    )
+
 # VMEM ref bundles (ordering contract between the arg builders and kernels)
 _LAYER_REF_NAMES = (
     # shared image-side constants (same block every step -> fetched once)
@@ -608,7 +644,8 @@ def two_way_layer_fused(
     # scoped-VMEM budget is too small for G > 1. The chip has 128 MB physical
     # VMEM; budget ~4x the keys traffic + fixed overhead.
     vmem_limit = min(100, 12 + G * 18) * 1024 * 1024
-    params = pltpu.CompilerParams(vmem_limit_bytes=vmem_limit)
+    params = _compiler_params(vmem_limit)
+    cost = _cost_estimate(B, N, C, I)
     if prefetch:
         keys_out, tokens_out = pl.pallas_call(
             lambda idx_ref, *refs: kernel(*refs),
@@ -620,6 +657,7 @@ def two_way_layer_fused(
                 out_specs=out_specs,
             ),
             compiler_params=params,
+            cost_estimate=cost,
             interpret=_interpret(),
         )(keys_idx.astype(jnp.int32), *args)
     else:
@@ -630,6 +668,7 @@ def two_way_layer_fused(
             in_specs=in_specs,
             out_specs=out_specs,
             compiler_params=params,
+            cost_estimate=cost,
             interpret=_interpret(),
         )(*args)
 
