@@ -71,6 +71,20 @@ class TrainConfig:
     # ZeRO-1 analog: shard optimizer-state leaves over the data axis
     # (the reference's DeepSpeed option — my_train_a.py:208-213)
     shard_optimizer_state: bool = False
+    # >1: split each batch into this many microbatches and accumulate their
+    # gradients under one lax.scan before a single optimizer update — only
+    # one microbatch's activations live at a time, so unfrozen fine-tunes
+    # reach large effective batches within HBM (the reference has no
+    # equivalent; it always steps per loader batch, trainer_v3_g.py:21-97)
+    grad_accum: int = 1
+    # True: Orbax async checkpointing — the directory write overlaps the
+    # next training steps instead of blocking the loop (the reference
+    # blocks on torch.save); emergency/interrupt saves always drain
+    async_checkpoint: bool = False
+    # Sequence parallelism for the SAM encoder over the mesh's `model` axis
+    # (Megatron-SP): token-axis activation sharding between blocks. Only
+    # meaningful with mesh_model > 1; placement-only, numerics unchanged
+    seq_shard: bool = False
 
     def core_config(self) -> CoreConfig:
         cfg = CoreConfig(
@@ -81,15 +95,15 @@ class TrainConfig:
             compute_dtype=self.compute_dtype,
             freeze_towers=self.freeze_towers,
         )
-        if self.encoder_remat is not None:
+        if self.encoder_remat is not None or self.seq_shard:
             from dataclasses import replace as _replace
 
-            cfg = _replace(
-                cfg,
-                encoder_override=_replace(
-                    cfg.encoder, remat_blocks=self.encoder_remat
-                ),
-            )
+            enc = cfg.encoder
+            if self.encoder_remat is not None:
+                enc = _replace(enc, remat_blocks=self.encoder_remat)
+            if self.seq_shard:
+                enc = _replace(enc, seq_shard=True)
+            cfg = _replace(cfg, encoder_override=enc)
         return cfg
 
 

@@ -82,6 +82,13 @@ class SamEncoderConfig:
     # 6-D transposes they replace, and the qkv/proj GEMMs grow 14% (wpad 16
     # vs window 14). Kept opt-in for re-measurement on future Mosaic/XLA.
     fused_window_indexing: bool = False
+    # sequence parallelism (Megatron-SP over the mesh's `model` axis):
+    # activations between blocks are sharding-constrained along the token-row
+    # axis, splitting LN/MLP/elementwise work and activation memory across
+    # the tensor-parallel group; XLA all-gathers the sequence where attention
+    # needs it. Placement-only (numerics unchanged). Requires
+    # cor_tpu.parallel.set_activation_mesh(mesh) before the first traced step
+    seq_shard: bool = False
 
     @property
     def grid(self) -> int:
@@ -195,6 +202,11 @@ def sam_encoder(p: Params, x: jax.Array, cfg: SamEncoderConfig) -> jax.Array:
     if cfg.use_abs_pos:
         x = x + p["pos_embed"].astype(x.dtype)
 
+    if cfg.seq_shard:
+        from cor_tpu.parallel.sharding import seq_shard_constraint
+
+        x = seq_shard_constraint(x)
+
     for i, bp in enumerate(p["blocks"]):
         window = 0 if i in cfg.global_attn_indexes else cfg.window_size
         if cfg.remat_blocks:
@@ -204,6 +216,8 @@ def sam_encoder(p: Params, x: jax.Array, cfg: SamEncoderConfig) -> jax.Array:
             )(x)
         else:
             x = _block(bp, x, cfg, window)
+        if cfg.seq_shard:
+            x = seq_shard_constraint(x)
 
     n = p["neck"]
     x = conv2d(n["conv1"], x)

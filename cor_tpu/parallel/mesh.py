@@ -22,27 +22,34 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+STAGE_AXIS = "stage"
 
 
 def make_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
     data: Optional[int] = None,
     model: int = 1,
+    stage: int = 1,
 ) -> Mesh:
-    """Build a (data, model) mesh over the available devices.
+    """Build a (data, model[, stage]) mesh over the available devices.
 
     With `model=1` this degenerates to pure data parallelism, the parity mode
-    with the reference's DDP. jax.make_mesh picks an ICI-friendly device
-    ordering for the requested axis shape.
+    with the reference's DDP. `stage > 1` adds a pipeline-parallel axis
+    (cor_tpu.parallel.pipeline). jax.make_mesh picks an ICI-friendly device
+    ordering for the requested axis shape; `stage` is innermost so the
+    per-tick ppermute handoffs ride nearest-neighbor ICI links.
     """
     if devices is None:
         devices = jax.devices()
     n = len(devices)
     if data is None:
-        data = n // model
-    assert data * model == n, f"mesh {data}x{model} != {n} devices"
-    dev_array = np.asarray(devices).reshape(data, model)
-    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+        data = n // (model * stage)
+    assert data * model * stage == n, f"mesh {data}x{model}x{stage} != {n} devices"
+    if stage == 1:
+        dev_array = np.asarray(devices).reshape(data, model)
+        return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+    dev_array = np.asarray(devices).reshape(data, model, stage)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS, STAGE_AXIS))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -53,6 +53,47 @@ _ROW_W = (
 )
 
 
+# ---------------------------------------------------------------------------
+# Sequence parallelism (Megatron-SP style, over the SAME `model` axis as
+# tensor parallelism): activations between transformer blocks are sharded
+# along the token axis, so LayerNorms / MLPs / elementwise work and the
+# activation memory split across the model group; XLA inserts the
+# all-gathers attention needs. Placement-only — numerics are unchanged.
+#
+# The mesh is registered explicitly (set_activation_mesh) rather than read
+# from an ambient context: constraints are baked at trace time, so the mesh
+# must be set BEFORE the first jitted step and never changed under a live
+# jit cache (the Trainer and the dryrun do this).
+# ---------------------------------------------------------------------------
+
+_ACTIVATION_MESH: Mesh | None = None
+
+
+def set_activation_mesh(mesh: Mesh | None) -> None:
+    """Register (or clear, with None) the mesh that seq_shard_constraint
+    constrains against. Call before the first traced forward."""
+    global _ACTIVATION_MESH
+    _ACTIVATION_MESH = mesh
+
+
+def seq_shard_constraint(x, seq_axis: int = 1):
+    """Constrain x's token axis over the mesh's `model` axis (and its batch
+    axis over `data` when divisible). No-op when no activation mesh is
+    registered, the model axis is trivial, or the axis doesn't divide."""
+    mesh = _ACTIVATION_MESH
+    if mesh is None:
+        return x
+    m = dict(mesh.shape).get(MODEL_AXIS, 1)
+    if m <= 1 or x.shape[seq_axis] % m != 0:
+        return x
+    spec = [None] * x.ndim
+    spec[seq_axis] = MODEL_AXIS
+    d = dict(mesh.shape).get(DATA_AXIS, 1)
+    if seq_axis != 0 and d >= 1 and x.shape[0] % d == 0:
+        spec[0] = DATA_AXIS
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
+
+
 def param_sharding_rules(mesh: Mesh, params):
     """Pytree of NamedShardings implementing tensor parallelism over the
     mesh's `model` axis (Megatron column/row pairs); replicated where the

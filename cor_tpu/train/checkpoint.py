@@ -45,6 +45,54 @@ def save_checkpoint(
     return path
 
 
+class CheckpointWriter:
+    """Async-capable checkpoint writer for the training loop.
+
+    The reference blocks the loop on every ``torch.save``
+    (trainer_v3_g.py:126-144). With ``async_save=True`` the Orbax
+    AsyncCheckpointer writes the directory in a background thread: ``save``
+    returns after the device->host snapshot (the part that must be
+    consistent with training continuing to mutate params), and the
+    file-system write overlaps the next training steps. Writes are
+    serialized — a new save first drains the previous one, so at most one
+    is in flight and overwriting an existing directory never races its own
+    pending write. Call ``wait()`` before process exit (Trainer.fit does)."""
+
+    def __init__(self, async_save: bool = False):
+        self.async_save = async_save
+        self._ckptr = (
+            ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+            if async_save
+            else None
+        )
+
+    def save(
+        self,
+        directory: str | Path,
+        name: str,
+        payload: Dict[str, Any],
+        overwrite: bool = True,
+    ) -> Path:
+        if self._ckptr is None:
+            return save_checkpoint(directory, name, payload, overwrite=overwrite)
+        path = _as_path(directory) / name
+        self._ckptr.wait_until_finished()  # serialize; guard the rmtree below
+        if overwrite and path.exists():
+            import shutil
+
+            shutil.rmtree(path)
+        # snapshot NOW, by copy: np.asarray is a no-op view for host arrays,
+        # and the caller (training loop) keeps mutating params while the
+        # background write proceeds
+        host_payload = jax.tree.map(lambda x: np.array(x), payload)
+        self._ckptr.save(path, args=ocp.args.StandardSave(host_payload))
+        return path
+
+    def wait(self) -> None:
+        if self._ckptr is not None:
+            self._ckptr.wait_until_finished()
+
+
 def restore_checkpoint(
     directory: str | Path,
     name: str,

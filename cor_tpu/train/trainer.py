@@ -26,7 +26,7 @@ import numpy as np
 from cor_tpu.config import TrainConfig
 from cor_tpu.parallel import make_mesh, pad_batch, replicated, shard_batch
 from cor_tpu.parallel.mesh import DATA_AXIS
-from cor_tpu.train.checkpoint import save_checkpoint
+from cor_tpu.train.checkpoint import CheckpointWriter
 from cor_tpu.train.step import TrainState, make_eval_step, make_train_step
 from cor_tpu.utils.meters import AverageMeter, StepTimer
 
@@ -67,6 +67,12 @@ class Trainer:
         self.mesh = mesh if mesh is not None else make_mesh(
             data=cfg.mesh_data, model=cfg.mesh_model
         )
+        if getattr(cfg, "seq_shard", False):
+            # sequence-parallel activation constraints are baked at trace
+            # time — register the mesh before the first jitted step
+            from cor_tpu.parallel import set_activation_mesh
+
+            set_activation_mesh(self.mesh)
         self.state = jax.device_put(state, replicated(self.mesh))
         if getattr(cfg, "shard_optimizer_state", False):
             from cor_tpu.parallel import shard_opt_state
@@ -78,10 +84,18 @@ class Trainer:
         self.lr_schedule = lr_schedule
         self.logger = logger
         self.writer = writer
-        self.train_step = make_train_step(self.core_cfg, tx)
+        self.train_step = make_train_step(
+            self.core_cfg, tx, grad_accum=getattr(cfg, "grad_accum", 1)
+        )
         self.eval_step = make_eval_step(self.core_cfg)
         self.best = BestTracker()
         self.rng = jax.random.PRNGKey(cfg.seed)
+        # async_checkpoint=True: Orbax writes the checkpoint directory in a
+        # background thread while training continues (the reference blocks
+        # on torch.save, trainer_v3_g.py:126-144); fit() drains on exit
+        self.ckpt = CheckpointWriter(
+            async_save=getattr(cfg, "async_checkpoint", False)
+        )
         # --profile N: capture a jax.profiler trace of the first N train
         # steps (a GLOBAL step count — the trace spans epoch boundaries)
         self.profile_steps = profile_steps
@@ -234,6 +248,7 @@ class Trainer:
                 self.train_epoch(train_loader, epoch)
                 self.val_epoch(val_loader, epoch)
         finally:
+            self.ckpt.wait()  # drain any in-flight async checkpoint write
             if prev_handler is not None:
                 signal.signal(signal.SIGTERM, prev_handler)
             if self._profiling:
@@ -250,10 +265,15 @@ class Trainer:
         out = {k: jnp.asarray(batch[k]) for k in keep}
         # pad to the mesh multiple (batch_size 10 on an 8-device mesh; partial
         # drop_last=False val batches) — padded rows are valid-masked out of
-        # the loss and the (sum, count) eval reduction
+        # the loss and the (sum, count) eval reduction. With grad_accum the
+        # batch must also split into equal microbatches: pad to the lcm.
+        import math
+
         n_data = self.mesh.shape[DATA_AXIS]
-        target = -(-self.cfg.batch_size // n_data) * n_data
-        return pad_batch(out, n_data, target=target)
+        accum = max(getattr(self.cfg, "grad_accum", 1), 1)
+        multiple = math.lcm(n_data, accum)
+        target = -(-self.cfg.batch_size // multiple) * multiple
+        return pad_batch(out, multiple, target=target)
 
     def _save(self, name: str, epoch: int, loss: Optional[float] = None, params_only: bool = False):
         if params_only:
@@ -267,5 +287,9 @@ class Trainer:
             }
             if loss is not None:
                 payload["loss"] = np.float32(loss)
-        path = save_checkpoint(self.cfg.train_model_save_path, name, payload)
+        path = self.ckpt.save(self.cfg.train_model_save_path, name, payload)
+        if name.startswith("interrupted"):
+            # emergency save (^C / SIGTERM): the process is about to exit —
+            # the write must be durable before we re-raise
+            self.ckpt.wait()
         self.logger.info(f"[Train Info]: Saved checkpoint to {path}")

@@ -167,6 +167,182 @@ def test_padded_batch_matches_unpadded(key, rng):
         np.testing.assert_allclose(float(sums_p[k]), float(sums_r[k]), rtol=1e-5)
 
 
+def _no_dropout_cfg():
+    import dataclasses
+
+    from tests.helpers import TINY_SUPPORT
+
+    return tiny_core_config(
+        support_override=dataclasses.replace(TINY_SUPPORT, proj_dropout=0.0)
+    )
+
+
+def _deterministic_cfg():
+    """Fully deterministic forward: proj_dropout 0 AND the 'add' fusion
+    ablation — cir_fuse_compose carries the reference Combiner's hard-coded
+    0.5 dropout (fusion.py:51), whose draws depend on the batch SHAPE, so
+    any full-batch == microbatched comparison needs it out of the graph."""
+    import dataclasses
+
+    from tests.helpers import TINY_SUPPORT
+
+    return tiny_core_config(
+        support_override=dataclasses.replace(
+            TINY_SUPPORT, proj_dropout=0.0, fusion="add"
+        )
+    )
+
+
+def _manual_accum_step(cfg, tx, params, batch, rng_key, lr, accum, bounds=None):
+    """Hand-rolled grad accumulation: per-microbatch value_and_grad with the
+    step's key folding, valid-count-weighted average, one tx.update.
+    ``bounds``: explicit [(start, end)] microbatch row ranges (defaults to
+    equal splits)."""
+    from cor_tpu.models.core_model import core_forward
+    from cor_tpu.train.losses import core_total_loss
+    from cor_tpu.train.step import _write_lr
+    import optax
+
+    def loss_fn(p, mb, k):
+        pred, qemb, sfeat = core_forward(
+            p, mb["query_img"], mb["support_img"], mb["text"], mb["support_mask"],
+            cfg, key=k, train=True,
+        )
+        return core_total_loss(
+            jnp.transpose(pred, (0, 2, 3, 1)), mb["query_mask"], qemb, sfeat,
+            valid=mb.get("valid"),
+        )
+
+    b = jax.tree.leaves(batch)[0].shape[0]
+    if bounds is None:
+        bounds = [(a * (b // accum), (a + 1) * (b // accum)) for a in range(accum)]
+    key = jax.random.fold_in(rng_key, jnp.int32(0))  # state.step == 0
+    g_acc, w_acc, loss_acc = None, 0.0, 0.0
+    for a in range(accum):
+        lo, hi = bounds[a]
+        mb = jax.tree.map(lambda x: x[lo:hi], batch)
+        (loss, _), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, mb, jax.random.fold_in(key, a)
+        )
+        w = float(mb["valid"].sum()) if "valid" in mb else float(hi - lo)
+        g = jax.tree.map(lambda x: np.asarray(x, np.float32) * w, g)
+        g_acc = g if g_acc is None else jax.tree.map(np.add, g_acc, g)
+        w_acc += w
+        loss_acc += w * float(loss)
+    grads = jax.tree.map(lambda x: jnp.asarray(x / w_acc), g_acc)
+    opt_state = _write_lr(tx.init(params), jnp.float32(lr))
+    updates, _ = tx.update(grads, opt_state, params)
+    return optax.apply_updates(params, updates), loss_acc / w_acc, grads
+
+
+def test_grad_accum_matches_manual_accumulation(key, rng):
+    """The grad_accum=2 scan produces exactly the hand-rolled weighted
+    accumulation (same key folding, same weighting, one update). The bg term
+    is batch-coupled (losses.py broadcast quirk), so accum == unsplit does
+    NOT hold for the total — the machinery is pinned against manual
+    accumulation instead, and the decomposable terms against the unsplit
+    step below."""
+    cfg = _no_dropout_cfg()
+    batch = _jax_batch(tiny_batch(rng, batch=4))
+    params = init_core_model(key, cfg)
+    tx, _ = make_optimizer(params, optimizer="AdamW", lr=1e-3, epochs=5)
+
+    state = create_train_state(init_core_model(key, cfg), tx)
+    step = make_train_step(cfg, tx, grad_accum=2)
+    state, metrics = step(state, batch, jax.random.PRNGKey(0), jnp.float32(1e-3))
+
+    manual_params, manual_loss, _ = _manual_accum_step(
+        cfg, tx, init_core_model(key, cfg), batch, jax.random.PRNGKey(0), 1e-3, 2
+    )
+    np.testing.assert_allclose(float(metrics["total_loss"]), manual_loss, rtol=1e-5)
+    for (kp, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(state.params)[0],
+        jax.tree_util.tree_flatten_with_path(manual_params)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5,
+            err_msg=jax.tree_util.keystr(kp),
+        )
+
+
+def test_grad_accum_decomposable_terms_match_unsplit(key, rng):
+    """seg (valid-weighted) and fg (all masks nonempty) decompose exactly
+    over microbatches; bg intentionally reflects the per-microbatch contrast
+    batch (reference broadcast quirk couples samples)."""
+    cfg = _deterministic_cfg()
+    batch = _jax_batch(tiny_batch(rng, batch=4))
+    qm = np.asarray(batch["query_mask"])
+    assert (qm.sum(axis=(1, 2, 3)) > 0).all() and ((1 - qm).sum(axis=(1, 2, 3)) > 0).all()
+    params = init_core_model(key, cfg)
+    tx, _ = make_optimizer(params, optimizer="AdamW", lr=1e-3, epochs=5)
+
+    state_a = create_train_state(init_core_model(key, cfg), tx)
+    _, m_a = make_train_step(cfg, tx, grad_accum=1)(
+        state_a, batch, jax.random.PRNGKey(0), jnp.float32(1e-3)
+    )
+    state_b = create_train_state(init_core_model(key, cfg), tx)
+    _, m_b = make_train_step(cfg, tx, grad_accum=2)(
+        state_b, batch, jax.random.PRNGKey(0), jnp.float32(1e-3)
+    )
+    np.testing.assert_allclose(float(m_a["seg_loss"]), float(m_b["seg_loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m_a["fg_loss"]), float(m_b["fg_loss"]), rtol=1e-5)
+    assert np.isfinite(float(m_b["bg_loss"]))
+
+
+def test_grad_accum_padding_invariance(key, rng):
+    """(a) Machinery on a PADDED batch: the scan == manual accumulation on
+    the same padded microbatches (identical graphs — near-bitwise params).
+    (b) Padding invariance of the accumulated GRADIENT: manual accumulation
+    on the padded microbatches == on the unpadded rows at matching
+    boundaries (every term's reductions are valid-masked, bg's column sums
+    included). Gradients, not post-AdamW params, are compared across the
+    different batch shapes — AdamW's first step amplifies reassociation-
+    scale grad deltas to ~±lr (same reasoning as the trajectory-parity
+    tolerances). SGD here for the same reason — its update is lr*grad, so
+    param equality IS grad equality (AdamW machinery is pinned by
+    test_grad_accum_matches_manual_accumulation)."""
+    from cor_tpu.parallel import pad_batch
+
+    cfg = _deterministic_cfg()
+    raw = _jax_batch(tiny_batch(rng, batch=6))
+    padded = pad_batch(raw, 4, target=8)  # microbatches: rows 0-3, rows 4-7(2 pad)
+    params = init_core_model(key, cfg)
+    tx, _ = make_optimizer(params, optimizer="SGD", lr=1e-3, epochs=5)
+
+    state = create_train_state(init_core_model(key, cfg), tx)
+    step = make_train_step(cfg, tx, grad_accum=2)
+    state, metrics = step(state, padded, jax.random.PRNGKey(0), jnp.float32(1e-3))
+
+    manual_pad, loss_pad, g_pad = _manual_accum_step(
+        cfg, tx, init_core_model(key, cfg), padded, jax.random.PRNGKey(0), 1e-3, 2
+    )
+    np.testing.assert_allclose(float(metrics["total_loss"]), loss_pad, rtol=1e-5)
+    for (kp, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(state.params)[0],
+        jax.tree_util.tree_flatten_with_path(manual_pad)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5,
+            err_msg=jax.tree_util.keystr(kp),
+        )
+
+    # (b): pad rows contribute nothing — the accumulated gradient equals the
+    # unpadded computation at the matching boundaries (weights 4 and 2)
+    _, loss_raw, g_raw = _manual_accum_step(
+        cfg, tx, init_core_model(key, cfg), raw, jax.random.PRNGKey(0), 1e-3, 2,
+        bounds=[(0, 4), (4, 6)],
+    )
+    np.testing.assert_allclose(loss_pad, loss_raw, rtol=1e-5)
+    for (kp, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(g_pad)[0],
+        jax.tree_util.tree_flatten_with_path(g_raw)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-3,
+            err_msg=jax.tree_util.keystr(kp),
+        )
+
+
 def test_eval_step_returns_weighted_sums(key, rng):
     cfg = tiny_core_config()
     params = init_core_model(key, cfg)

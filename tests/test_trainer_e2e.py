@@ -192,6 +192,34 @@ def test_checkpoint_roundtrip_standalone(tmp_path, key):
     assert int(out["epoch"]) == 7
 
 
+def test_async_checkpoint_writer_roundtrip_and_overwrite(tmp_path):
+    """CheckpointWriter(async_save=True): save returns before the write is
+    necessarily durable; wait() drains; a second save to the same name
+    serializes against (and replaces) the first; restore sees the last."""
+    from cor_tpu.train.checkpoint import CheckpointWriter
+
+    w = CheckpointWriter(async_save=True)
+    p1 = {"params": {"w": np.full((4, 4), 1.0, np.float32)}, "epoch": np.int32(1)}
+    p2 = {"params": {"w": np.full((4, 4), 2.0, np.float32)}, "epoch": np.int32(2)}
+    w.save(tmp_path, "ck", p1)
+    w.save(tmp_path, "ck", p2)  # drains p1's write, then overwrites
+    w.wait()
+    out = restore_checkpoint(tmp_path, "ck", p2)
+    np.testing.assert_array_equal(out["params"]["w"], p2["params"]["w"])
+    assert int(out["epoch"]) == 2
+
+    # snapshot semantics: mutating the payload after save() must not affect
+    # the written checkpoint (the device->host copy happened inside save)
+    p3 = {"params": {"w": np.full((4, 4), 3.0, np.float32)}, "epoch": np.int32(3)}
+    w.save(tmp_path, "ck3", p3)
+    p3["params"]["w"] *= 0.0
+    w.wait()
+    out = restore_checkpoint(
+        tmp_path, "ck3", {"params": {"w": np.zeros((4, 4), np.float32)}, "epoch": np.int32(0)}
+    )
+    np.testing.assert_array_equal(out["params"]["w"], np.full((4, 4), 3.0, np.float32))
+
+
 def test_resolve_resume_corrupted_and_missing(tmp_path, caplog):
     """Resume decision matrix (VERDICT r2 weak #5): healthy auto-resume
     restores; a CORRUPTED latest checkpoint_epoch_N degrades to a fresh
