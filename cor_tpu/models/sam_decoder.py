@@ -54,6 +54,10 @@ from cor_tpu.ops.common import (
 # opt-in whole-stack decode fusion (see the negative-result note at the use
 # site in two_way_transformer; flip for re-measuring on newer Mosaic)
 STACK_FUSED = False
+# layer-as-grid-dimension decode fusion (two_way_layer.two_way_grid_fused):
+# the stack kernel's HBM contract (keys once in / once out) with the
+# per-layer kernel's per-step body — A/B-able via tools/decode_bench.py
+GRID_FUSED = False
 
 
 @dataclass(frozen=True)
@@ -243,6 +247,24 @@ def two_way_transformer(
         and point_embedding.shape[1] <= _TOK_PAD
         and C % cfg.num_heads == 0
     )
+
+    if layer_fused and len(p["layers"]) == 2 and GRID_FUSED:
+        # layer-as-grid-dimension fusion: grid (B/G, 2) with pl.when on the
+        # layer index — keys cross HBM once in/once out (the stack kernel's
+        # saving) while each grid step executes only ONE layer's ops (the
+        # per-layer kernel's schedule)
+        from cor_tpu.ops.pallas.two_way_layer import two_way_grid_fused
+
+        kpe_layers, qpe_layers = [], []
+        for lp in p["layers"]:
+            kpe_layers.append(_matmul_nobias(lp["cross_attn_t2i"]["k_proj"], key_pe)[0])
+            qpe_layers.append(_matmul_nobias(lp["cross_attn_i2t"]["q_proj"], key_pe)[0])
+        kpe_f = _matmul_nobias(p["final_attn_t2i"]["k_proj"], key_pe)[0]
+        queries, keys = two_way_grid_fused(
+            p, queries, query_pe, keys, kpe_layers, qpe_layers, kpe_f,
+            cfg.num_heads, keys_idx=store_idx,
+        )
+        return queries, keys
 
     if layer_fused and len(p["layers"]) == 2 and STACK_FUSED:
         # whole-stack fusion: both layers + final t2i + norm_final in ONE

@@ -457,6 +457,79 @@ def _stack_kernel(
     tokens_out_ref[...] = x_tok.astype(tokens_out_ref.dtype).reshape(G, _T, C)
 
 
+def _grid_kernel(
+    tokens_ref,  # [G, T, C] initial tokens (= point embeddings)
+    qpe_tok_ref,  # [G, T, C]
+    *refs,
+    G: int,
+    eps: float,
+    self_scale: float,
+    cross_scale: float,
+):
+    """Both layers + final attention with the LAYER as a grid dimension.
+
+    Grid (B/G, 2), layer index innermost. Per step only ONE layer's ops
+    execute (`pl.when` on program_id(1)) — the per-step schedule stays the
+    single-layer kernel's — while keys cross HBM exactly once in and once
+    out like the stack kernel: the keys input block index ignores the layer
+    dim (fetched once per candidate group), layer 1 writes the inter-layer
+    state into the (revisited, VMEM-resident) output block, and layer 2 +
+    the final attention read/update it in place before the single flush.
+    Token state flows through the revisited tokens output block (bf16 —
+    the same dtype round trip the per-layer kernels take through HBM).
+    """
+    keys_refs = refs[:G]
+    rest = refs[G:]
+    nL = len(_LAYER_REF_NAMES)
+    nF = len(_FINAL_REF_NAMES)
+    nC = len(_CONST_REF_NAMES)
+    w1 = dict(zip(_LAYER_REF_NAMES, rest[:nL]))
+    w2 = dict(zip(_LAYER_REF_NAMES, rest[nL : 2 * nL]))
+    wf = dict(zip(_FINAL_REF_NAMES, rest[2 * nL : 2 * nL + nF]))
+    consts = dict(zip(_CONST_REF_NAMES, rest[2 * nL + nF : 2 * nL + nF + nC]))
+    keys_out_ref, tokens_out_ref = rest[2 * nL + nF + nC :]
+
+    lid = pl.program_id(1)
+    dt = keys_refs[0].dtype
+    C = tokens_ref.shape[2]
+    GT = G * _T
+    n_tiles = keys_refs[0].shape[1] // _TILE
+    qpe_t = qpe_tok_ref[...].reshape(GT, C).astype(jnp.float32)
+
+    def read_in(c, i):
+        return keys_refs[c][0, pl.ds(i * _TILE, _TILE), :]
+
+    def read_out(c, i):
+        return keys_out_ref[c, pl.ds(i * _TILE, _TILE), :]
+
+    def write_out(c, i, z):
+        keys_out_ref[c, pl.ds(i * _TILE, _TILE), :] = z.astype(keys_out_ref.dtype)
+
+    @pl.when(lid == 0)
+    def _layer1():
+        x_tok = tokens_ref[...].reshape(GT, C).astype(jnp.float32)
+        x_tok = _layer_body(
+            x_tok, qpe_t, w1, consts, read_in, write_out,
+            G=G, n_tiles=n_tiles, skip_pe=True, eps=eps,
+            self_scale=self_scale, cross_scale=cross_scale, dt=dt,
+        )
+        tokens_out_ref[...] = x_tok.astype(tokens_out_ref.dtype).reshape(G, _T, C)
+
+    @pl.when(lid == 1)
+    def _layer2_and_final():
+        x_tok = tokens_out_ref[...].reshape(GT, C).astype(jnp.float32)
+        x_tok = _layer_body(
+            x_tok, qpe_t, w2, consts, read_out, write_out,
+            G=G, n_tiles=n_tiles, skip_pe=False, eps=eps,
+            self_scale=self_scale, cross_scale=cross_scale, dt=dt,
+        )
+        x_tok = _final_body(
+            x_tok, qpe_t, wf, consts, read_out,
+            G=G, n_tiles=n_tiles, eps=eps, cross_scale=cross_scale, dt=dt,
+        )
+        tokens_out_ref[...] = x_tok.astype(tokens_out_ref.dtype).reshape(G, _T, C)
+
+
 def _constants(num_heads: int, c_dim: int, i_dim: int, n_real_tokens: int, dt, G: int):
     """Selector / mask / normalizer constants for the head-unrolled layout,
     block-diagonal over the G grouped candidates."""
@@ -674,6 +747,139 @@ def two_way_layer_fused(
 
     # scale q AFTER t2i bias (the reference scales q post-projection): note the
     # kernel applies cross_scale to (proj + bias) jointly — identical math.
+    return tokens_out[:, :n_tok, :], keys_out
+
+
+def _specs_and_group_2d(N, C, prefetch, G):
+    """BlockSpec builders for the (B/G, layer) 2-D grid: every index_map
+    ignores the layer dim, so keys/tokens blocks are fetched once per
+    candidate group and revisited (VMEM-resident) on the layer-1 step."""
+    if prefetch:
+        cdim = lambda *shape: pl.BlockSpec(
+            shape, lambda i, l, s: (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+        grp3 = lambda *shape: pl.BlockSpec(
+            shape, lambda i, l, s: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        keys_specs = [
+            pl.BlockSpec(
+                (1, N, C), lambda i, l, s, g=g: (s[i * G + g], 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            for g in range(G)
+        ]
+    else:
+        cdim = lambda *shape: pl.BlockSpec(
+            shape, lambda i, l: (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+        grp3 = lambda *shape: pl.BlockSpec(
+            shape, lambda i, l: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        keys_specs = [
+            pl.BlockSpec(
+                (1, N, C), lambda i, l, g=g: (i * G + g, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            for g in range(G)
+        ]
+    return cdim, grp3, keys_specs
+
+
+def two_way_grid_fused(
+    p,  # whole transformer params: {"layers": [l1, l2], "final_attn_t2i", "norm_final"}
+    tokens: jax.Array,  # [B, n_tok, C] point embeddings
+    qpe_tok: jax.Array,  # [B, n_tok, C]
+    keys: jax.Array,  # [B, N, C] image embedding rows, or a STORE [S, N, C]
+    kpe_layers,  # list of [N, I]: per-layer t2i.k_proj(key_pe)
+    qpe_img_layers,  # list of [N, I]: per-layer i2t.q_proj(key_pe)
+    kpe_final: jax.Array,  # [N, I]: final_attn.k_proj(key_pe)
+    num_heads: int,
+    eps: float = 1e-5,
+    keys_idx: jax.Array = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """The depth-2 transformer with the LAYER as an inner grid dimension.
+
+    Same HBM contract as ``two_way_stack_fused`` (keys once in, once out)
+    but the per-step executed body stays ONE layer — probing whether the
+    stack kernel's measured 2.4x per-step cost came from Mosaic scheduling
+    the doubled unrolled body rather than from the work itself. Returns
+    (queries_final, keys_final), the ``two_way_transformer`` contract.
+    """
+    assert len(p["layers"]) == 2, "grid kernel is specialized to depth 2"
+    B, n_tok, C = tokens.shape
+    N = keys.shape[1]
+    dt = keys.dtype
+    I = p["layers"][0]["cross_attn_t2i"]["q_proj"]["w"].shape[-1]
+    assert N % _TILE == 0 and n_tok <= _T
+    if keys_idx is not None:
+        assert keys_idx.shape == (B,) and keys.shape[2] == C
+
+    G = max(gg for gg in (_GROUP, 2, 1) if B % gg == 0)
+
+    pad = _T - n_tok
+    if pad:
+        tokens = jnp.pad(tokens, ((0, 0), (0, pad), (0, 0)))
+        qpe_tok = jnp.pad(qpe_tok, ((0, 0), (0, pad), (0, 0)))
+
+    consts = _constants(num_heads, C, I, n_tok, dt, G)
+    self_scale = 1.0 / float(np.sqrt(C // num_heads))
+    cross_scale = 1.0 / float(np.sqrt(I // num_heads))
+
+    prefetch = keys_idx is not None
+    cdim, grp3, keys_specs = _specs_and_group_2d(N, C, prefetch, G)
+
+    args = [
+        tokens, qpe_tok, *([keys] * G),
+        *_layer_arg_arrays(p["layers"][0], kpe_layers[0], qpe_img_layers[0], dt),
+        *_layer_arg_arrays(p["layers"][1], kpe_layers[1], qpe_img_layers[1], dt),
+        *_final_arg_arrays(p["final_attn_t2i"], p["norm_final"], kpe_final, dt),
+        *consts,
+    ]
+    in_specs = []
+    for a in args[:2]:
+        in_specs.append(grp3(G, a.shape[1], a.shape[2]))
+    in_specs.extend(keys_specs)
+    for a in args[2 + G :]:
+        in_specs.append(cdim(*a.shape))
+
+    kernel = functools.partial(
+        _grid_kernel,
+        G=G,
+        eps=eps,
+        self_scale=self_scale,
+        cross_scale=cross_scale,
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((B, N, C), dt),
+        jax.ShapeDtypeStruct((B, _T, C), dt),
+    )
+    out_specs = (grp3(G, N, C), grp3(G, _T, C))
+    vmem_limit = min(100, 12 + G * 22) * 1024 * 1024
+    params = pltpu.CompilerParams(vmem_limit_bytes=vmem_limit)
+    if prefetch:
+        keys_out, tokens_out = pl.pallas_call(
+            lambda idx_ref, *refs: kernel(*refs),
+            out_shape=out_shape,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(B // G, 2),
+                in_specs=in_specs,
+                out_specs=out_specs,
+            ),
+            compiler_params=params,
+            interpret=_interpret(),
+        )(keys_idx.astype(jnp.int32), *args)
+    else:
+        keys_out, tokens_out = pl.pallas_call(
+            kernel,
+            out_shape=out_shape,
+            grid=(B // G, 2),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            compiler_params=params,
+            interpret=_interpret(),
+        )(*args)
+
     return tokens_out[:, :n_tok, :], keys_out
 
 

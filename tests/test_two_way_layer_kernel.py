@@ -164,6 +164,40 @@ def test_two_way_layer_fused_per_head_softmax_stability(full_size_layer, rng):
     np.testing.assert_allclose(np.asarray(k_f), np.asarray(k_ref), atol=3e-4, rtol=3e-4)
 
 
+def test_two_way_grid_fused_matches_composition(full_size_layer, rng, monkeypatch):
+    """The layer-as-grid-dimension kernel (grid (B/G, 2), pl.when-selected
+    single-layer body, keys once in/once out through the revisited output
+    block) == the unfused XLA transformer at B=8 (G=4) over the bench
+    geometry, including the store-indexed scalar-prefetch variant."""
+    import cor_tpu.models.sam_decoder as sd
+
+    monkeypatch.setattr(sd, "GRID_FUSED", True)
+    cfg, p = full_size_layer
+    B, N, C = 8, twl._TILE * 4, 256
+    g = int(np.sqrt(N))
+
+    img = jnp.asarray(rng.standard_normal((B, g, g, C)).astype(np.float32) * 0.3)
+    pe = jnp.asarray(rng.standard_normal((1, g, g, C)).astype(np.float32) * 0.3)
+    tokens = jnp.asarray(rng.standard_normal((B, 6, C)).astype(np.float32) * 0.5)
+
+    hs_ref, src_ref = two_way_transformer(p, img, pe, tokens, cfg, fused=False)
+    hs_f, src_f = two_way_transformer(p, img, pe, tokens, cfg, fused=True)
+    np.testing.assert_allclose(np.asarray(hs_f), np.asarray(hs_ref), atol=5e-4, rtol=5e-4)
+    np.testing.assert_allclose(np.asarray(src_f), np.asarray(src_ref), atol=5e-4, rtol=5e-4)
+
+    idx = np.array([5, 2, 7, 0, 1, 6, 3, 4], np.int32)
+    hs_s, src_s = two_way_transformer(
+        p, img, pe, tokens[jnp.asarray(idx)], cfg, fused=True,
+        store_idx=jnp.asarray(idx),
+    )
+    np.testing.assert_allclose(
+        np.asarray(hs_s), np.asarray(hs_f)[idx], atol=5e-4, rtol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(src_s), np.asarray(src_f)[idx], atol=5e-4, rtol=5e-4
+    )
+
+
 def test_two_way_stack_fused_matches_composition(full_size_layer, rng, monkeypatch):
     """The whole-stack kernel (both layers + final t2i + norm_final in ONE
     pallas_call) == the unfused XLA transformer, at B=8 (G=4 grouping) over

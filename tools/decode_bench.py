@@ -13,6 +13,8 @@ variant:
   python tools/decode_bench.py --semantics arbitrary
   python tools/decode_bench.py --cost          # attach pl.CostEstimate
   python tools/decode_bench.py --semantics parallel --cost
+  python tools/decode_bench.py --variant grid  # layer-as-grid-dim kernel
+  python tools/decode_bench.py --variant stack # whole-stack kernel
 
 Prints ms/128-candidate chunk and candidates/sec (decode only).
 """
@@ -29,6 +31,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--semantics", choices=["parallel", "arbitrary"], default=None)
     ap.add_argument("--cost", action="store_true")
+    ap.add_argument("--variant", choices=["layer", "grid", "stack"], default="layer")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--chunks", type=int, default=8)
     args = ap.parse_args()
@@ -52,6 +55,10 @@ def main():
     from cor_tpu.models.core_model import CoreConfig, _cast, init_core_model
     from cor_tpu.models.prompt_encoder import get_dense_pe
     from cor_tpu.models.sam_decoder import mask_decoder
+    import cor_tpu.models.sam_decoder as sd
+
+    sd.GRID_FUSED = args.variant == "grid"
+    sd.STACK_FUSED = args.variant == "stack"
 
     cfg = CoreConfig(
         sam_model="sam_base",
@@ -110,7 +117,7 @@ def main():
     total_cands = n_chunks * CHUNK * iters
     ms_per_chunk = dt / (n_chunks * iters) * 1e3
     print(
-        f"semantics={args.semantics} cost={args.cost}: "
+        f"variant={args.variant} semantics={args.semantics} cost={args.cost}: "
         f"{ms_per_chunk:.3f} ms/{CHUNK}-cand chunk, "
         f"{total_cands / dt:,.0f} candidates/sec (decode only)"
     )
