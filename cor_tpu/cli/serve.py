@@ -37,6 +37,10 @@ def main(argv=None):
     parser.add_argument("--decode-masks", default=None, metavar="DIR",
                         help="also decode + save top-k candidate masks "
                         "(requires an index built --with-store)")
+    parser.add_argument("--store-hbm", action="store_true",
+                        help="keep the candidate store HBM-resident as int8 "
+                             "(4x less HBM than fp32; in-kernel dequant) "
+                             "instead of host-streaming rows per request")
     parser.add_argument("--self-test", type=int, default=0, metavar="N",
                         help="serve N synthetic requests and exit (smoke mode)")
     args = parser.parse_args(argv)
@@ -76,6 +80,7 @@ def main(argv=None):
         quantize=args.int8,
         decode_dir=args.decode_masks,
         tokenizer_path=cfg.tokenizer_path,
+        store_hbm=args.store_hbm,
     )
     server.warmup()
 

@@ -225,13 +225,19 @@ def two_way_transformer(
     store_idx: jax.Array = None,  # int32 [B]: image_embedding is a store;
     # row store_idx[b] feeds batch element b (retrieval decode — the gather
     # is absorbed into the first fused layer's scalar-prefetch block reads)
+    store_scale: jax.Array = None,  # fp32 [S]: the store is int8 per-row
+    # symmetric quantized; row s dequantizes as store[s] * store_scale[s]
+    # (requires store_idx — 4x less store HBM, dequant inside the kernel)
 ) -> Tuple[jax.Array, jax.Array]:
     S, H, W, C = image_embedding.shape
     B = point_embedding.shape[0] if store_idx is not None else S
+    if store_scale is not None:
+        assert store_idx is not None, "int8 stores require store-indexed decode"
+    comp_dt = point_embedding.dtype if store_scale is not None else image_embedding.dtype
     keys = image_embedding.reshape(S, H * W, C)
     # key_pe stays batch-1: it only enters through linear projections, which
     # broadcast (see _two_way_block's PE decomposition)
-    key_pe = image_pe.reshape(1, H * W, C).astype(keys.dtype)
+    key_pe = image_pe.reshape(1, H * W, C).astype(comp_dt)
 
     queries = point_embedding
     query_pe = point_embedding
@@ -248,7 +254,7 @@ def two_way_transformer(
         and C % cfg.num_heads == 0
     )
 
-    if layer_fused and len(p["layers"]) == 2 and GRID_FUSED:
+    if layer_fused and len(p["layers"]) == 2 and GRID_FUSED and store_scale is None:
         # layer-as-grid-dimension fusion: grid (B/G, 2) with pl.when on the
         # layer index — keys cross HBM once in/once out (the stack kernel's
         # saving) while each grid step executes only ONE layer's ops (the
@@ -266,7 +272,7 @@ def two_way_transformer(
         )
         return queries, keys
 
-    if layer_fused and len(p["layers"]) == 2 and STACK_FUSED:
+    if layer_fused and len(p["layers"]) == 2 and STACK_FUSED and store_scale is None:
         # whole-stack fusion: both layers + final t2i + norm_final in ONE
         # kernel — keys cross HBM once in, once out. MEASURED NEGATIVE
         # (round 3, defaults OFF): 4.4 ms vs 3.9 ms for the per-layer
@@ -299,10 +305,16 @@ def two_way_transformer(
                 lp, queries, query_pe, keys, kpe_l, qpe_l, cfg.num_heads,
                 skip_pe=(i == 0),
                 keys_idx=store_idx if i == 0 else None,
+                keys_scale=store_scale if i == 0 else None,
             )
         else:
             if i == 0 and store_idx is not None:
                 keys = jnp.take(keys, store_idx, axis=0)  # gather fallback
+                if store_scale is not None:
+                    keys = (
+                        keys.astype(jnp.float32)
+                        * store_scale[store_idx][:, None, None]
+                    ).astype(comp_dt)
             queries, keys = _two_way_block(
                 lp, queries, keys, query_pe, key_pe, cfg.num_heads,
                 skip_first_layer_pe=(i == 0), fused=fused,
@@ -410,6 +422,9 @@ def mask_decoder(
     store_idx: jax.Array = None,  # int32 [B]: image_embeddings is a STORE
     # [S, H, W, C] and row store_idx[b] decodes for batch element b (dense
     # prompt must be pre-baked into the store — pass dense=None)
+    store_scale: jax.Array = None,  # fp32 [S]: the store is int8 per-row
+    # quantized (see retrieval.engine.quantize_candidate_store) — 4x less
+    # store HBM; rows dequantize inside the first fused two-way layer
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (masks [B, n_out, 4H, 4W], iou_pred [B, n_out], src [B, HW, C])."""
     S, H, W, C = image_embeddings.shape
@@ -420,10 +435,15 @@ def mask_decoder(
             "store-indexed decode requires the dense prompt pre-baked into "
             "the store (dense_prompt_embeddings=None)"
         )
+    comp_dt = (
+        sparse_prompt_embeddings.dtype
+        if store_scale is not None
+        else image_embeddings.dtype
+    )
 
     output_tokens = jnp.concatenate(
         [p["iou_token"], p["mask_tokens"]], axis=0
-    ).astype(image_embeddings.dtype)
+    ).astype(comp_dt)
     output_tokens = jnp.broadcast_to(output_tokens[None], (B, 1 + nmt, C))
     tokens = jnp.concatenate([output_tokens, sparse_prompt_embeddings], axis=1)
 
@@ -437,7 +457,7 @@ def mask_decoder(
 
     hs, src_seq = two_way_transformer(
         p["transformer"], src, image_pe, tokens, cfg.transformer, fused=fused,
-        store_idx=store_idx,
+        store_idx=store_idx, store_scale=store_scale,
     )
     iou_token_out = hs[:, 0, :]
     mask_tokens_out = hs[:, 1 : 1 + nmt, :]  # [B, nmt, C]
@@ -474,7 +494,7 @@ def mask_decoder(
             up["convt2"]["w"].astype(src_grid.dtype),
             up["convt2"]["b"],
             hyper_in,
-        ).astype(image_embeddings.dtype)
+        ).astype(comp_dt)
     else:
         x = _conv_transpose_2x(up["convt1"], src_grid)
         x = layer_norm(up["ln"], x, eps=1e-6)
@@ -485,7 +505,7 @@ def mask_decoder(
             hyper_in,
             upscaled,
             preferred_element_type=jnp.float32,
-        ).astype(image_embeddings.dtype)  # [B, n_out, 4H, 4W]
+        ).astype(comp_dt)  # [B, n_out, 4H, 4W]
 
     iou_pred = mlp_stack(p["iou_prediction_head"], iou_token_out)  # [B, nmt]
     iou_pred = iou_pred[:, 1:] if multimask_output else iou_pred[:, 0:1]

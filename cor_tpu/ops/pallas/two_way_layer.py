@@ -360,7 +360,10 @@ def _kernel(
     eps: float,
     self_scale: float,
     cross_scale: float,
+    idx_smem=None,  # SMEM int32 [B] store row per candidate (prefetch)
+    scale_smem=None,  # SMEM fp32 [S] per-store-row dequant scales (prefetch)
 ):
+    quantized = scale_smem is not None
     keys_refs = refs[:G]  # G x [1, N, C] per-candidate image activations
     rest = refs[G:]
     nL = len(_LAYER_REF_NAMES)
@@ -368,7 +371,7 @@ def _kernel(
     consts = dict(zip(_CONST_REF_NAMES, rest[nL : nL + len(_CONST_REF_NAMES)]))
     keys_out_ref, tokens_out_ref = rest[nL + len(_CONST_REF_NAMES) :]
 
-    dt = keys_refs[0].dtype
+    dt = tokens_ref.dtype if quantized else keys_refs[0].dtype
     C = tokens_ref.shape[2]
     GT = G * _T
     x_tok = tokens_ref[...].reshape(GT, C).astype(jnp.float32)
@@ -376,7 +379,15 @@ def _kernel(
     n_tiles = keys_refs[0].shape[1] // _TILE
 
     def read_rows(c, i):
-        return keys_refs[c][0, pl.ds(i * _TILE, _TILE), :]
+        r = keys_refs[c][0, pl.ds(i * _TILE, _TILE), :]
+        if quantized:
+            # dequantize the int8 tile in VMEM: the per-row scale comes off
+            # SMEM (scale_smem[idx_smem[step*G+c]]), fp32 multiply, then
+            # round to the compute dtype (identical rounding to an XLA-side
+            # dequantized store — parity-tested)
+            sc = scale_smem[idx_smem[pl.program_id(0) * G + c]]
+            return (r.astype(jnp.float32) * sc).astype(dt)
+        return r
 
     def write_rows(c, i, z):
         keys_out_ref[c, pl.ds(i * _TILE, _TILE), :] = z.astype(keys_out_ref.dtype)
@@ -617,18 +628,20 @@ def _final_arg_arrays(fa, norm_final, kpe_f, dt):
 
 def _specs_and_group(B, n_tok, N, C, prefetch, G):
     """Common BlockSpec builders: cdim (whole-operand constants), grp3
-    (G-grouped batch blocks), and the G per-candidate keys specs."""
+    (G-grouped batch blocks), and the G per-candidate keys specs. With
+    ``prefetch`` the index_maps gain the scalar-prefetch refs as trailing
+    args (one int32 idx ref; int8 stores add a second fp32 scales ref —
+    ``*ps`` absorbs either arity)."""
     if prefetch:
-        # index_maps gain the scalar-prefetch ref as a trailing arg
         cdim = lambda *shape: pl.BlockSpec(
-            shape, lambda i, s: (0,) * len(shape), memory_space=pltpu.VMEM
+            shape, lambda i, *ps: (0,) * len(shape), memory_space=pltpu.VMEM
         )
         grp3 = lambda *shape: pl.BlockSpec(
-            shape, lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
+            shape, lambda i, *ps: (i, 0, 0), memory_space=pltpu.VMEM
         )
         keys_specs = [
             pl.BlockSpec(
-                (1, N, C), lambda i, s, g=g: (s[i * G + g], 0, 0),
+                (1, N, C), lambda i, *ps, g=g: (ps[0][i * G + g], 0, 0),
                 memory_space=pltpu.VMEM,
             )
             for g in range(G)
@@ -656,6 +669,8 @@ def two_way_layer_fused(
     skip_pe: bool,
     eps: float = 1e-5,
     keys_idx: jax.Array = None,  # optional int32 [B]: keys is a STORE [S, N, C]
+    keys_scale: jax.Array = None,  # optional fp32 [S]: keys is an int8 store;
+    # row s dequantizes as keys[s] * keys_scale[s] (requires keys_idx)
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (tokens', keys') — one fused TwoWayAttentionBlock.
 
@@ -664,10 +679,24 @@ def two_way_layer_fused(
     block indexing — the batched gather (which XLA lowers to a slice loop +
     a full layout-fix copy, ~13 ms per 1024 candidates traced) never
     materializes.
+
+    With ``keys_scale``, the store is int8 per-candidate-row symmetric
+    quantized: each keys tile dequantizes in VMEM right after its (4x
+    smaller) DMA. Updated keys are written back at the compute dtype, so
+    only this first layer sees int8 — 4x less store HBM per chip and ~1.5
+    MB less inbound DMA per candidate on the decode hot path.
     """
     B, n_tok, C = tokens.shape
     N = keys.shape[1]
-    dt = keys.dtype
+    quantized = keys_scale is not None
+    if quantized:
+        assert keys_idx is not None and keys.dtype == jnp.int8, (
+            "int8 keys require store-indexed decode (keys_idx) — the batch "
+            "path has no per-row scale plumbing"
+        )
+        dt = tokens.dtype
+    else:
+        dt = keys.dtype
     I = lp["cross_attn_t2i"]["q_proj"]["w"].shape[-1]
     assert N % _TILE == 0 and n_tok <= _T
     if keys_idx is not None:
@@ -719,7 +748,29 @@ def two_way_layer_fused(
     vmem_limit = min(100, 12 + G * 18) * 1024 * 1024
     params = _compiler_params(vmem_limit)
     cost = _cost_estimate(B, N, C, I)
-    if prefetch:
+    if quantized:
+        # second scalar-prefetch operand: the fp32 per-row dequant scales
+        # live in SMEM and are read per candidate inside the kernel
+        keys_out, tokens_out = pl.pallas_call(
+            lambda idx_ref, scale_ref, *refs: kernel(
+                *refs, idx_smem=idx_ref, scale_smem=scale_ref
+            ),
+            out_shape=out_shape,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(B // G,),
+                in_specs=in_specs,
+                out_specs=out_specs,
+            ),
+            compiler_params=params,
+            cost_estimate=cost,
+            interpret=_interpret(),
+        )(
+            keys_idx.astype(jnp.int32),
+            keys_scale.reshape(-1).astype(jnp.float32),
+            *args,
+        )
+    elif prefetch:
         keys_out, tokens_out = pl.pallas_call(
             lambda idx_ref, *refs: kernel(*refs),
             out_shape=out_shape,

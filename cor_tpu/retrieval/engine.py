@@ -83,6 +83,58 @@ def _quantize_queries_in_graph(queries: jax.Array) -> Tuple[jax.Array, jax.Array
     return q, qscale.astype(jnp.float32)
 
 
+def quantize_candidate_store(store, no_mask_embed=None):
+    """int8 per-candidate-row symmetric quantization of a SAM candidate
+    store [S, H, W, C] -> (int8 store, fp32 scales [S]).
+
+    Traced (jax) end to end so multi-GB stores quantize ON DEVICE. The
+    constant dense no-mask prompt (my_prompt_encoder.py:128-174 semantics)
+    is added BEFORE quantization when given, so the decode path needs no
+    separate bias pass — same pre-baking the bf16 store path uses. Rows
+    dequantize inside the first fused two-way layer
+    (ops/pallas/two_way_layer.py): 4x less store HBM than fp32 (2x vs
+    bf16), ~4x less inbound keys DMA on the first decode layer."""
+    store = jnp.asarray(store)
+    if no_mask_embed is not None:
+        store = store.astype(jnp.float32) + no_mask_embed.astype(jnp.float32)
+    else:
+        store = store.astype(jnp.float32)
+    S = store.shape[0]
+    flat = store.reshape(S, -1)
+    scales = jnp.maximum(jnp.max(jnp.abs(flat), axis=1) / 127.0, 1e-12)
+    q = jnp.clip(
+        jnp.round(flat / scales[:, None]), -127, 127
+    ).astype(jnp.int8).reshape(store.shape)
+    return q, scales.astype(jnp.float32)
+
+
+def quantize_candidate_store_host(
+    store, no_mask_embed=None, chunk: int = 256
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side chunked variant of quantize_candidate_store for stores that
+    arrive memory-mapped from a gallery-index artifact (cor_tpu.cli.index
+    --with-store) and may not fit on-device at fp32 during quantization.
+    Quantizes chunk-by-chunk in numpy; only the 4x-smaller int8 result ships
+    host->device."""
+    S = store.shape[0]
+    q = np.empty(store.shape, np.int8)
+    scales = np.empty((S,), np.float32)
+    bias = None if no_mask_embed is None else np.asarray(no_mask_embed, np.float32)
+    for s in range(0, S, chunk):
+        rows = np.asarray(store[s : s + chunk], np.float32)
+        if bias is not None:
+            rows = rows + bias
+        flat = rows.reshape(rows.shape[0], -1)
+        sc = np.maximum(np.abs(flat).max(axis=1) / 127.0, 1e-12)
+        q[s : s + chunk] = (
+            np.clip(np.round(flat / sc[:, None]), -127, 127)
+            .astype(np.int8)
+            .reshape(rows.shape)
+        )
+        scales[s : s + chunk] = sc
+    return q, scales
+
+
 def cosine_scores_int8(
     queries_q: jax.Array,  # [Q, D] int8
     qscales: jax.Array,  # [Q] fp32

@@ -94,6 +94,41 @@ def make_candidate_mask_decoder(cfg: CoreConfig):
     return decode
 
 
+def make_store_indexed_mask_decoder(cfg: CoreConfig):
+    """Store-indexed decode against an HBM-RESIDENT int8 candidate store:
+    decode(params, store_q int8 [S,g,g,C], scales fp32 [S], idx int32 [B],
+    query_feats [B, D]) -> mask logits [B, 1, 4g, 4g].
+
+    The first fused two-way layer reads store_q[idx[b]] directly via
+    scalar-prefetch block indexing and dequantizes each tile in VMEM
+    (ops/pallas/two_way_layer.py) — no host round trip, no batched gather,
+    4x less store HBM than fp32. The store must carry the dense no-mask
+    prompt pre-baked (quantize_candidate_store[_host] with no_mask_embed)."""
+
+    @jax.jit
+    def decode(params, store_q, scales, idx, query_feats):
+        p = _cast(params, cfg.dtype)
+        image_pe = get_dense_pe(p["prompt_encoder"], cfg.prompt).astype(cfg.dtype)
+        masks, iou, _ = mask_decoder(
+            p["mask_decoder"],
+            store_q,
+            image_pe,
+            query_feats[:, None, :].astype(cfg.dtype),
+            None,  # dense prompt pre-baked into the quantized store
+            cfg.decoder,
+            multimask_output=cfg.multimask_output,
+            fused=True,
+            store_idx=idx,
+            store_scale=scales,
+        )
+        if cfg.multimask_output:
+            best = jnp.argmax(iou, axis=1)
+            masks = jnp.take_along_axis(masks, best[:, None, None, None], axis=1)
+        return masks.astype(jnp.float32)
+
+    return decode
+
+
 def build_gallery(
     cfg: CoreConfig,
     params,

@@ -47,6 +47,7 @@ class RetrievalServer:
         decode_dir: Optional[str] = None,
         tokenizer_path: Optional[str] = None,
         mesh=None,
+        store_hbm: bool = False,
     ):
         from cor_tpu.data.tokenizer import get_tokenizer
         from cor_tpu.parallel import make_mesh
@@ -66,16 +67,37 @@ class RetrievalServer:
         self.store = index.get("store")  # [G, g, g, C] fp16 mmap or None
         self.encode_query = make_query_encoder(core_cfg)
         self.decode_dir = Path(decode_dir) if decode_dir else None
-        self._decode = (
-            make_candidate_mask_decoder(core_cfg)
-            if (self.decode_dir is not None and self.store is not None)
-            else None
-        )
+        self._decode = None
+        self._decode_hbm = None
         if self.decode_dir is not None and self.store is None:
             raise ValueError(
                 "decode_dir requested but the gallery index carries no image-"
                 "embedding store — rebuild it with cor_tpu.cli.index --with-store"
             )
+        if self.decode_dir is not None:
+            if store_hbm:
+                # HBM-resident int8 store: quantize the mmap'd fp16 store on
+                # the host chunk-by-chunk (pre-baking the dense no-mask
+                # prompt), ship only the 4x-smaller int8 array, and decode
+                # store-indexed — no per-request host gather/device_put
+                import jax
+                import jax.numpy as jnp
+
+                from cor_tpu.retrieval.engine import quantize_candidate_store_host
+                from cor_tpu.retrieval.index import make_store_indexed_mask_decoder
+
+                no_mask = np.asarray(params["prompt_encoder"]["no_mask_embed"][0])
+                q, scales = quantize_candidate_store_host(self.store, no_mask)
+                self._store_q = jax.device_put(jnp.asarray(q))
+                self._store_scales = jax.device_put(jnp.asarray(scales))
+                self._decode_hbm = make_store_indexed_mask_decoder(core_cfg)
+                log.info(
+                    "candidate store HBM-resident: %s int8 rows (%.2f GB; "
+                    "fp32 would be %.2f GB)",
+                    q.shape[0], q.nbytes / 2**30, q.nbytes * 4 / 2**30,
+                )
+            else:
+                self._decode = make_candidate_mask_decoder(core_cfg)
         self.tokenizer = get_tokenizer(
             tokenizer_path, core_cfg.support.siglip.text.context_length
         )
@@ -139,7 +161,7 @@ class RetrievalServer:
                 for i, s in zip(idx, scores)
             ],
         }
-        if self._decode is not None:
+        if self._decode is not None or self._decode_hbm is not None:
             resp["masks"] = self._decode_masks(
                 request.get("id"), idx, q, save=request.get("id") != "warmup"
             )
@@ -150,9 +172,19 @@ class RetrievalServer:
         from PIL import Image
 
         self.decode_dir.mkdir(parents=True, exist_ok=True)
-        cand = jnp.asarray(np.asarray(self.store[idx], np.float32))  # [K, g, g, C]
         feats = jnp.broadcast_to(q, (len(idx), q.shape[1]))
-        logits = np.asarray(self._decode(self.params, cand, feats))  # [K, 1, 4g, 4g]
+        if self._decode_hbm is not None:
+            # store-indexed decode straight out of the HBM-resident int8 store
+            logits = np.asarray(
+                self._decode_hbm(
+                    self.params, self._store_q, self._store_scales,
+                    jnp.asarray(idx.astype(np.int32)), feats,
+                )
+            )  # [K, 1, 4g, 4g]
+        else:
+            # host-streamed: gather the mmap'd fp16 rows, ship, decode
+            cand = jnp.asarray(np.asarray(self.store[idx], np.float32))  # [K, g, g, C]
+            logits = np.asarray(self._decode(self.params, cand, feats))  # [K, 1, 4g, 4g]
         if not save:  # warmup: compile + execute, write nothing
             return []
         paths = []
@@ -169,4 +201,6 @@ class RetrievalServer:
         req = {"id": "warmup", "synthetic": 0}
         self.handle(req)
         log.info("RetrievalServer warm: gallery=%d k=%d decode=%s",
-                 len(self.pair_ids), self.k, self._decode is not None)
+                 len(self.pair_ids), self.k,
+                 "hbm-int8" if self._decode_hbm is not None
+                 else self._decode is not None)

@@ -301,6 +301,24 @@ def test_retrieval_server_end_to_end(key, tmp_path):
         img = np.asarray(Image.open(p))
         assert set(np.unique(img)).issubset({0, 255})
 
+    # HBM-resident int8 store mode: same request, store-indexed decode out
+    # of the quantized on-device store — binarized masks must agree with the
+    # host-streamed fp32 path up to int8 rounding
+    from PIL import Image as _Image
+
+    server_hbm = RetrievalServer(
+        cfg, params, index, k=4, decode_dir=str(tmp_path / "pred_hbm"), store_hbm=True
+    )
+    resp_hbm = server_hbm.handle({"id": 42, "synthetic": 3})
+    assert [r["pair_id"] for r in resp_hbm["results"]] == [
+        r["pair_id"] for r in resp["results"]
+    ]
+    assert len(resp_hbm["masks"]) == 4
+    for p_hbm, p_ref in zip(resp_hbm["masks"], resp["masks"]):
+        m_hbm = np.asarray(_Image.open(p_hbm)) > 0
+        m_ref = np.asarray(_Image.open(p_ref)) > 0
+        assert np.mean(m_hbm == m_ref) > 0.98, "int8 store decode drifted"
+
     # planted self-match: encode query 3's support triple, overwrite gallery
     # row 3 with that embedding -> top-1 must be pair id 3
     import jax.numpy as jnp2

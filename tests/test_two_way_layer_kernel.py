@@ -88,6 +88,59 @@ def test_store_indexed_decode_matches_gather(full_size_layer, rng):
     np.testing.assert_allclose(np.asarray(iou_idx), np.asarray(iou_ref), atol=2e-4, rtol=2e-4)
 
 
+def test_int8_store_decode_matches_dequantized(full_size_layer, rng):
+    """mask_decoder(int8 store, store_scale=...) == decoding the XLA-side
+    dequantized store: the first fused layer's in-VMEM dequant (fp32 scale
+    multiply after the 4x-smaller int8 DMA) is bit-equivalent to
+    materializing store[s] * scale[s] up front."""
+    from cor_tpu.models.sam_decoder import MaskDecoderConfig, init_mask_decoder, mask_decoder
+    from cor_tpu.retrieval.engine import quantize_candidate_store
+
+    cfg = MaskDecoderConfig(
+        transformer_dim=256,
+        iou_head_hidden_dim=256,
+        transformer=TwoWayTransformerConfig(depth=2, embedding_dim=256, num_heads=8, mlp_dim=2048),
+    )
+    p = init_mask_decoder(jax.random.PRNGKey(1), cfg)
+    g = 32  # 32*32 = 1024 rows = one row tile
+    store = jnp.asarray(rng.standard_normal((3, g, g, 256)).astype(np.float32) * 0.3)
+    no_mask = jnp.asarray(rng.standard_normal((256,)).astype(np.float32) * 0.1)
+    pe = jnp.asarray(rng.standard_normal((1, g, g, 256)).astype(np.float32) * 0.3)
+    prompts = jnp.asarray(rng.standard_normal((2, 1, 256)).astype(np.float32) * 0.5)
+    idx = jnp.asarray(np.array([2, 0], np.int32))
+
+    store_q, scales = quantize_candidate_store(store, no_mask_embed=no_mask)
+    assert store_q.dtype == jnp.int8 and scales.shape == (3,)
+    store_deq = store_q.astype(jnp.float32) * scales[:, None, None, None]
+
+    m_ref, iou_ref, _ = mask_decoder(
+        p, store_deq, pe, prompts, None, cfg, multimask_output=False,
+        fused=True, store_idx=idx,
+    )
+    m_q, iou_q, _ = mask_decoder(
+        p, store_q, pe, prompts, None, cfg, multimask_output=False,
+        fused=True, store_idx=idx, store_scale=scales,
+    )
+    np.testing.assert_allclose(np.asarray(m_q), np.asarray(m_ref), atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(iou_q), np.asarray(iou_ref), atol=2e-4, rtol=2e-4)
+
+    # the pre-baked no-mask prompt + quantization stay close to the exact
+    # bf16-style store: logits differ only by the int8 rounding (~scale/2)
+    m_exact, _, _ = mask_decoder(
+        p, store + no_mask[None, None, None, :], pe, prompts, None, cfg,
+        multimask_output=False, fused=True, store_idx=idx,
+    )
+    err = np.abs(np.asarray(m_q) - np.asarray(m_exact)).max()
+    assert err < 0.15, f"int8 store decode drifted too far from exact: {err}"
+
+    # non-fused gather fallback takes the same (store_idx, store_scale) API
+    m_nf, _, _ = mask_decoder(
+        p, store_q, pe, prompts, None, cfg, multimask_output=False,
+        fused=False, store_idx=idx, store_scale=scales,
+    )
+    np.testing.assert_allclose(np.asarray(m_nf), np.asarray(m_ref), atol=5e-4, rtol=5e-4)
+
+
 def test_two_way_layer_fused_candidate_grouping(full_size_layer, rng):
     """B=8 engages the G=4 candidate-grouping path (grid B/G): the batched
     token stages and the block-diagonal cross-candidate masking must be

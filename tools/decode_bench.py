@@ -32,8 +32,13 @@ def main():
     ap.add_argument("--semantics", choices=["parallel", "arbitrary"], default=None)
     ap.add_argument("--cost", action="store_true")
     ap.add_argument("--variant", choices=["layer", "grid", "stack"], default="layer")
+    ap.add_argument(
+        "--int8", action="store_true",
+        help="int8 per-row-quantized candidate store (in-kernel dequant)",
+    )
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--chunks", type=int, default=8)
+    ap.add_argument("--store", type=int, default=128)
     args = ap.parse_args()
 
     sys.path.insert(0, str(Path(__file__).parent.parent))
@@ -67,14 +72,21 @@ def main():
         multimask_output=False,
         compute_dtype="bfloat16",
     )
-    CHUNK, STORE = 128, 128
+    CHUNK, STORE = 128, args.store
     n_chunks = args.chunks
 
     params = jax.device_put(_cast(init_core_model(jax.random.PRNGKey(0), cfg), jnp.bfloat16))
-    cand_store = (
-        jax.random.normal(jax.random.PRNGKey(7), (STORE, 64, 64, 256), dtype=jnp.bfloat16)
-        + params["prompt_encoder"]["no_mask_embed"][0]
+    raw_store = jax.random.normal(
+        jax.random.PRNGKey(7), (STORE, 64, 64, 256), dtype=jnp.bfloat16
     )
+    no_mask = params["prompt_encoder"]["no_mask_embed"][0]
+    store_scales = None
+    if args.int8:
+        from cor_tpu.retrieval.engine import quantize_candidate_store
+
+        cand_store, store_scales = jax.jit(quantize_candidate_store)(raw_store, no_mask)
+    else:
+        cand_store = raw_store + no_mask
     rng = np.random.default_rng(0)
     flat_idx = jnp.asarray(rng.integers(0, STORE, (n_chunks, CHUNK)).astype(np.int32))
     prompts = jnp.asarray(
@@ -85,12 +97,15 @@ def main():
         p = _cast(params, cfg.dtype)
         image_pe = get_dense_pe(p["prompt_encoder"], cfg.prompt).astype(cfg.dtype)
 
+        store_arg = cand_store if args.int8 else cand_store.astype(cfg.dtype)
+
         def decode_chunk(args_):
             idx_c, prompts_c = args_
             masks, iou, _ = mask_decoder(
-                p["mask_decoder"], cand_store.astype(cfg.dtype), image_pe,
+                p["mask_decoder"], store_arg, image_pe,
                 prompts_c.astype(cfg.dtype), None, cfg.decoder,
                 multimask_output=False, fused=True, store_idx=idx_c,
+                store_scale=store_scales,
             )
             area = jnp.mean((masks > 0).astype(jnp.float32), axis=(1, 2, 3))
             return iou[:, 0], area, masks.astype(jnp.float32).sum()
@@ -117,7 +132,8 @@ def main():
     total_cands = n_chunks * CHUNK * iters
     ms_per_chunk = dt / (n_chunks * iters) * 1e3
     print(
-        f"variant={args.variant} semantics={args.semantics} cost={args.cost}: "
+        f"variant={args.variant} semantics={args.semantics} cost={args.cost} "
+        f"int8={args.int8} store={STORE}: "
         f"{ms_per_chunk:.3f} ms/{CHUNK}-cand chunk, "
         f"{total_cands / dt:,.0f} candidates/sec (decode only)"
     )
