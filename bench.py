@@ -218,10 +218,11 @@ def main() -> None:
     # ------------------------------------------------------------------
     from cor_tpu.retrieval.engine import quantize_candidate_store
 
-    big_raw = jax.random.normal(
-        jax.random.PRNGKey(7), (STORE_BIG, 64, 64, 256), dtype=jnp.bfloat16
-    )  # same rows as big_store (identical PRNG stream), pre-bake via helper
-    store_q, store_scales = jax.jit(quantize_candidate_store)(big_raw, no_mask)
+    # quantize the ALREADY-RESIDENT big_store (no_mask is pre-baked in it) —
+    # a second 4.3 GB source array would waste half the chip's HBM
+    store_q, store_scales = jax.jit(
+        lambda s: quantize_candidate_store(s, None)
+    )(big_store)
 
     def pipeline_int8(params, support_img, text, support_mask, gallery, cand_store, scales):
         def body(carry, i):

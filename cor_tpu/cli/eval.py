@@ -28,6 +28,18 @@ def main(argv=None):
     )
     args = parser.parse_args(argv)
 
+    # fail fast, not per-sample: the validator resizes every prediction with
+    # cv2 (reference parity — vailder.py:468) inside a per-sample
+    # try/continue, so a missing cv2 would otherwise skip EVERY sample and
+    # exit 0 with an empty eval
+    try:
+        import cv2  # noqa: F401
+    except ImportError as e:
+        raise SystemExit(
+            "cor_tpu.cli.eval requires OpenCV (cv2) for reference-parity "
+            f"mask resizing — pip install opencv-python-headless ({e})"
+        )
+
     import jax
 
     from cor_tpu.utils.runtime import enable_compile_cache

@@ -169,6 +169,36 @@ _META_COLUMNS = (
 )
 
 
+def manifest_meta_lookup(manifest):
+    """Manifest-row lookup by pair Id, shared by val_metric and the
+    visualization panels: (DataFrame or None) -> lookup(pid) -> row or None.
+
+    Joins by the reference CSV's ``Id`` column (NEVER by row position, so a
+    shuffled/sharded loader cannot misalign metadata). Duplicate Ids take
+    the first row. A string-typed Id column is coerced to numeric so int
+    pair ids from the loader still match."""
+    if manifest is None or "Id" not in getattr(manifest, "columns", ()):
+        return lambda pid: None
+    import pandas as pd
+
+    ids = manifest["Id"]
+    try:
+        ids = pd.to_numeric(ids)
+    except (ValueError, TypeError):
+        pass  # genuinely non-numeric ids: match as-is
+    df = manifest.set_index(ids)
+
+    def lookup(pid):
+        if pid not in df.index:
+            return None
+        m = df.loc[pid]
+        if getattr(m, "ndim", 1) == 2:  # duplicate Ids: take first
+            m = m.iloc[0]
+        return m
+
+    return lookup
+
+
 def _native_gt(batch, i, hw) -> Optional[np.ndarray]:
     """Binary GT at native resolution: from disk when the loader carries
     query_mask_path, else the batched (data-res) GT resized back."""
@@ -209,9 +239,7 @@ def val_metric(
     """
     csv_path = Path(csv_path)
     csv_path.parent.mkdir(parents=True, exist_ok=True)
-    meta_by_id = None
-    if manifest is not None and "Id" in getattr(manifest, "columns", ()):
-        meta_by_id = manifest.set_index("Id", drop=False)
+    meta_lookup = manifest_meta_lookup(manifest)
     rows = []
     sample_idx = 0
     for batch in loader:
@@ -228,10 +256,8 @@ def val_metric(
                     raise ValueError("no GT available for sample")
                 pid = int(batch["pair_id"][i])
                 row = {"Id": pid}
-                if meta_by_id is not None and pid in meta_by_id.index:
-                    m = meta_by_id.loc[pid]
-                    if getattr(m, "ndim", 1) == 2:  # duplicate Ids: take first
-                        m = m.iloc[0]
+                m = meta_lookup(pid)
+                if m is not None:
                     for c in _META_COLUMNS:
                         if c in m:
                             row[c] = m[c]

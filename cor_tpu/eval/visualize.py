@@ -87,9 +87,9 @@ def val_visual_for_compare(
     """
     out_dir = Path(save_path) / vis_save_dir
     out_dir.mkdir(parents=True, exist_ok=True)
-    meta_by_id = None
-    if manifest is not None and "Id" in getattr(manifest, "columns", ()):
-        meta_by_id = manifest.set_index("Id", drop=False)
+    from cor_tpu.eval.validator import manifest_meta_lookup
+
+    meta_lookup = manifest_meta_lookup(manifest)
 
     font = ImageFont.load_default()
     tw, th = target_size
@@ -108,11 +108,7 @@ def val_visual_for_compare(
                 break
             try:
                 pair_id = int(batch["pair_id"][i])
-                meta = None
-                if meta_by_id is not None and pair_id in meta_by_id.index:
-                    meta = meta_by_id.loc[pair_id]
-                    if getattr(meta, "ndim", 1) == 2:  # duplicate Ids
-                        meta = meta.iloc[0]
+                meta = meta_lookup(pair_id)
 
                 panels = [
                     _denorm_to_pil(np.asarray(batch["query_img"][i]), target_size),

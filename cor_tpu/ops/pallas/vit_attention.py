@@ -63,9 +63,15 @@ def _kernel(
             # subtract the column mean: shifts every logit row by its own
             # mean (softmax-invariant), so the exp needs NO max pass. Same
             # stability argument as the two-way kernel's mean shift: exp
-            # overflows only if a single row's logit range exceeds ~176
-            # (2x the fp32 exp bound) — attention logits on LN'd activations
-            # are O(10), and a range of 80 is already a hard one-hot.
+            # overflows only if a row's (max - mean) exceeds ~88; worst case
+            # (a one-hot row, mean ~= min) that is the full logit RANGE, so
+            # the honest bound is range ~88 — attention logits on LN'd
+            # activations are O(10), and a range of 80 is already a hard
+            # one-hot. Caveat for UNFROZEN fine-tunes (this kernel is on the
+            # training path): a divergent run whose qkv/rel-pos weights blow
+            # a head's logit range past ~88 NaNs here where a max-pass
+            # softmax would saturate; at that point training is already
+            # lost (per-element grad clip 0.5 makes the regime pathological).
             kcat_ref[h] = kcat - jnp.mean(kcat, axis=0, keepdims=True)
 
     outs = []

@@ -69,10 +69,17 @@ class RetrievalServer:
         self.decode_dir = Path(decode_dir) if decode_dir else None
         self._decode = None
         self._decode_hbm = None
+        self._anon_requests = 0  # fallback filename counter for id-less requests
         if self.decode_dir is not None and self.store is None:
             raise ValueError(
                 "decode_dir requested but the gallery index carries no image-"
                 "embedding store — rebuild it with cor_tpu.cli.index --with-store"
+            )
+        if store_hbm and self.decode_dir is None:
+            raise ValueError(
+                "store_hbm=True without decode_dir does nothing — the HBM-"
+                "resident int8 store only serves the candidate-mask decode "
+                "path; pass decode_dir (cli: --decode-masks) or drop the flag"
             )
         if self.decode_dir is not None:
             if store_hbm:
@@ -172,6 +179,15 @@ class RetrievalServer:
         from PIL import Image
 
         self.decode_dir.mkdir(parents=True, exist_ok=True)
+        # request ids come from UNTRUSTED client JSON: reduce to a filename-
+        # safe token (no separators -> no path traversal out of decode_dir);
+        # id-less requests get a per-server counter instead of colliding
+        safe_id = "".join(
+            ch for ch in str(req_id) if ch.isalnum() or ch in "-_."
+        ).lstrip(".")
+        if req_id is None or not safe_id:
+            self._anon_requests += 1
+            safe_id = f"req{self._anon_requests}"
         feats = jnp.broadcast_to(q, (len(idx), q.shape[1]))
         if self._decode_hbm is not None:
             # store-indexed decode straight out of the HBM-resident int8 store
@@ -190,7 +206,7 @@ class RetrievalServer:
         paths = []
         for j, gallery_row in enumerate(idx):
             m = ((1 / (1 + np.exp(-logits[j, 0]))) > 0.5).astype(np.uint8) * 255
-            p = self.decode_dir / f"{req_id}_{int(self.pair_ids[gallery_row])}.png"
+            p = self.decode_dir / f"{safe_id}_{int(self.pair_ids[gallery_row])}.png"
             Image.fromarray(m, "L").save(p)
             paths.append(str(p))
         return paths

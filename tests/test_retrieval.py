@@ -301,6 +301,16 @@ def test_retrieval_server_end_to_end(key, tmp_path):
         img = np.asarray(Image.open(p))
         assert set(np.unique(img)).issubset({0, 255})
 
+    # untrusted request ids must not escape decode_dir (path traversal)
+    from pathlib import Path as _P
+
+    resp_evil = server.handle({"id": "../../evil", "synthetic": 2})
+    for p in resp_evil["masks"]:
+        assert _P(p).resolve().is_relative_to((tmp_path / "pred").resolve())
+    # id-less requests fall back to a counter instead of colliding on "None"
+    resp_anon = server.handle({"synthetic": 2})
+    assert all("None" not in p for p in resp_anon["masks"])
+
     # HBM-resident int8 store mode: same request, store-indexed decode out
     # of the quantized on-device store — binarized masks must agree with the
     # host-streamed fp32 path up to int8 rounding
@@ -363,3 +373,7 @@ def test_retrieval_server_end_to_end(key, tmp_path):
         RetrievalServer(
             cfg, params, {**index, "store": None}, k=4, decode_dir=str(tmp_path / "x")
         )
+
+    # store_hbm without decode_dir would silently do nothing -> loud failure
+    with pytest.raises(ValueError, match="store_hbm"):
+        RetrievalServer(cfg, params, index, k=4, store_hbm=True)
