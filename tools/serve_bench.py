@@ -1,0 +1,98 @@
+"""Serving-latency A/B: host-streamed vs HBM-resident-int8 candidate store.
+
+Measures per-request latency of `RetrievalServer.handle` (query encode +
+sharded scan + top-k candidate mask decode) at flagship geometry on the real
+chip, in both decode-store modes:
+
+  host-stream  every request gathers the k retrieved rows from the mmap'd
+               fp16 store and device_puts them ([k, 64, 64, 256] fp32 =
+               ~4.2 MB/candidate) before the decode dispatch
+  store-hbm    the store lives on-device as int8 (quantized once at startup)
+               and the decode reads rows store-indexed — nothing ships
+
+  python tools/serve_bench.py [--rows 32] [--k 10] [--requests 20]
+
+Relay caveat: on this axon-tunneled chip the host->device ship crosses an
+HTTP relay, so the host-stream numbers are an upper bound vs a real TPU-VM
+(PCIe ~16 GB/s would move k x 4.2 MB in ~3 ms). The store-hbm mode's
+latency is relay-invariant (fixed-size request inputs only).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=32, help="gallery/store rows")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--requests", type=int, default=20)
+    args = ap.parse_args()
+
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+
+    import numpy as np
+
+    from cor_tpu.utils.runtime import enable_compile_cache
+
+    enable_compile_cache()
+
+    import jax
+
+    from cor_tpu.models.core_model import CoreConfig, init_core_model
+    from cor_tpu.retrieval.serve import RetrievalServer
+
+    cfg = CoreConfig(
+        sam_model="sam_base",
+        siglip_model="ViT-B-16-SigLIP-384",
+        mask_pooling="MaskAdapterPooling",
+        multimask_output=False,
+        compute_dtype="bfloat16",
+    )
+    params = init_core_model(jax.random.PRNGKey(0), cfg)
+
+    # synthetic flagship-shaped index: random unit gallery rows + a random
+    # fp16 store (the serve path never looks at source images)
+    rng = np.random.default_rng(0)
+    g = rng.standard_normal((args.rows, 256)).astype(np.float32)
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    index = {
+        "embeddings": g,
+        "pair_ids": np.arange(args.rows, dtype=np.int64),
+        "store": rng.standard_normal((args.rows, 64, 64, 256)).astype(np.float16) * 0.3,
+    }
+
+    def bench(mode: str, store_hbm: bool):
+        out = Path(f"/tmp/serve_bench_{mode}")
+        t0 = time.perf_counter()
+        server = RetrievalServer(
+            cfg, params, index, k=args.k,
+            decode_dir=str(out), store_hbm=store_hbm,
+        )
+        server.warmup()
+        startup = time.perf_counter() - t0
+        lat = []
+        for i in range(args.requests):
+            t0 = time.perf_counter()
+            resp = server.handle({"id": f"{mode}{i}", "synthetic": i})
+            assert len(resp["masks"]) == args.k
+            lat.append(time.perf_counter() - t0)
+        lat = np.asarray(lat) * 1e3
+        print(
+            f"{mode:12s} startup {startup:6.1f} s | request latency "
+            f"p50 {np.percentile(lat, 50):7.1f} ms  "
+            f"p95 {np.percentile(lat, 95):7.1f} ms  "
+            f"mean {lat.mean():7.1f} ms  (n={args.requests}, k={args.k})"
+        )
+        return lat
+
+    bench("host-stream", store_hbm=False)
+    bench("store-hbm", store_hbm=True)
+
+
+if __name__ == "__main__":
+    main()
