@@ -220,6 +220,99 @@ def make_sharded_retrieve(
     return jax.jit(shard_fn)
 
 
+def make_sharded_retrieve_decode(
+    mesh: Mesh,
+    decoder_cfg,
+    k: int,
+    quantized: bool = False,
+    chunk: int = 128,
+):
+    """Sharded scan + LOCAL store-indexed mask decode + IoU-informed merge.
+
+    TPU-native multi-chip decode with ZERO candidate routing: each chip
+    already owns the gallery rows it scored, so it mask-decodes its OWN
+    local top-k straight out of its OWN int8 store shard (perfectly
+    balanced — k candidates per query per chip), then the ICI merge ranks
+    the n_shards*k decoded candidates by predicted mask IoU. Compared to
+    decode-after-merge this does n_shards x the decode FLOPs but spreads
+    them over n_shards chips (same wall time as k candidates on one chip)
+    and re-ranks over an n x wider decoder-informed pool. The store scales
+    with the mesh: each chip holds G/n rows (COR127K's full 133 GB int8
+    store fits an 8-chip v5p slice).
+
+    Returns fn(queries [Q, D] replicated, dec_params (replicated pytree),
+    image_pe [1, g, g, C], gallery [G] sharded, base_indices [G] sharded,
+    store_q int8 [G, g, g, C] sharded, store_scales [G] sharded
+    (+ gallery_scales [G] sharded when quantized))
+    -> (cosine scores [Q, k], decoder IoU [Q, k], global indices [Q, k]),
+    ranked by IoU.
+    """
+    from cor_tpu.models.sam_decoder import mask_decoder
+
+    def local_fn(
+        queries, dec_params, image_pe,
+        gallery_shard, index_shard, store_shard, store_scales,
+        scale_shard=None,
+    ):
+        if quantized:
+            qq, qs = _quantize_queries_in_graph(queries)
+            s = cosine_scores_int8(qq, qs, gallery_shard, scale_shard)
+        else:
+            s = cosine_scores(queries, gallery_shard)  # [Q, G/n]
+        s = jnp.where(index_shard[None, :] < 0, -jnp.inf, s)
+        k_local = min(k, gallery_shard.shape[0])
+        scores, local_idx = jax.lax.top_k(s, k_local)  # [Q, k_local]
+
+        Q, D = queries.shape
+        B = Q * k_local
+        cdt = image_pe.dtype
+        flat_idx = local_idx.reshape(-1).astype(jnp.int32)
+        prompts = jnp.repeat(queries.astype(cdt), k_local, axis=0)[:, None, :]
+
+        def decode(idx_c, prompts_c):
+            # padded shards decode zero store rows; their -inf scan scores
+            # mask the garbage IoU out of the merge below
+            _, iou, _ = mask_decoder(
+                dec_params, store_shard, image_pe, prompts_c, None,
+                decoder_cfg, multimask_output=False, fused=True,
+                store_idx=idx_c, store_scale=store_scales,
+            )
+            return iou[:, 0]
+
+        if B > chunk and B % chunk == 0:
+            iou_flat = jax.lax.map(
+                lambda a: decode(*a),
+                (flat_idx.reshape(-1, chunk), prompts.reshape(-1, chunk, 1, D)),
+            ).reshape(-1)
+        else:
+            iou_flat = decode(flat_idx, prompts)
+        iou_qk = iou_flat.reshape(Q, k_local).astype(jnp.float32)
+
+        global_idx = index_shard[local_idx]
+        all_scores = jax.lax.all_gather(scores, DATA_AXIS, axis=1).reshape(Q, -1)
+        all_iou = jax.lax.all_gather(iou_qk, DATA_AXIS, axis=1).reshape(Q, -1)
+        all_idx = jax.lax.all_gather(global_idx, DATA_AXIS, axis=1).reshape(Q, -1)
+        all_iou = jnp.where(jnp.isneginf(all_scores), -jnp.inf, all_iou)
+        merged_iou, pos = jax.lax.top_k(all_iou, k)
+        merged_idx = jnp.take_along_axis(all_idx, pos, axis=1)
+        merged_scores = jnp.take_along_axis(all_scores, pos, axis=1)
+        return merged_scores, merged_iou, merged_idx
+
+    in_specs = (
+        P(), P(), P(),
+        P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+    ) + ((P(DATA_AXIS),) if quantized else ())
+    return jax.jit(
+        jax.shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=in_specs,
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+    )
+
+
 @dataclass
 class ShardedGallery:
     """A gallery of candidate embeddings laid out across the mesh."""
@@ -282,6 +375,45 @@ class RetrievalEngine:
         embeddings = embeddings / np.maximum(norms, 1e-12)
         self.gallery = ShardedGallery.build(
             self.mesh, embeddings.astype(np.float32), quantize=self.quantize
+        )
+
+    def enable_store_decode(self, decoder_cfg, store, no_mask_embed=None):
+        """Shard the SAM image-embedding store across the mesh (int8
+        per-row quantized, dense no-mask prompt pre-baked), row-aligned
+        with the gallery, and build the fused scan+decode+merge path
+        (make_sharded_retrieve_decode). ``store`` is [G, g, g, C] (numpy or
+        mmap; quantized host-side chunk-by-chunk so only int8 ships)."""
+        assert self.gallery is not None, (
+            "set_gallery first — store rows align with gallery rows"
+        )
+        g_padded = int(self.gallery.indices.shape[0])
+        assert store.shape[0] == self.gallery.size, (
+            f"store rows {store.shape[0]} != gallery size {self.gallery.size}"
+        )
+        q, scales = quantize_candidate_store_host(store, no_mask_embed)
+        pad = g_padded - q.shape[0]
+        if pad:
+            q = np.concatenate([q, np.zeros((pad, *q.shape[1:]), np.int8)])
+            scales = np.concatenate([scales, np.ones(pad, np.float32)])
+        sharding = NamedSharding(self.mesh, P(DATA_AXIS))
+        self.store_q = jax.device_put(jnp.asarray(q), sharding)
+        self.store_scales = jax.device_put(jnp.asarray(scales), sharding)
+        self._retrieve_decode = make_sharded_retrieve_decode(
+            self.mesh, decoder_cfg, self.k, quantized=self.quantize
+        )
+
+    def retrieve_decode(self, query_embeddings, dec_params, image_pe):
+        """Scan + per-shard local mask decode + IoU-ranked ICI merge:
+        [Q, D] -> (cosine scores, decoder IoU, global indices), each [Q, k],
+        ranked by predicted mask IoU. Requires enable_store_decode."""
+        assert getattr(self, "_retrieve_decode", None) is not None, (
+            "call enable_store_decode first"
+        )
+        extra = (self.gallery.scales,) if self.quantize else ()
+        return self._retrieve_decode(
+            query_embeddings, dec_params, image_pe,
+            self.gallery.embeddings, self.gallery.indices,
+            self.store_q, self.store_scales, *extra,
         )
 
     def retrieve(self, query_embeddings: jax.Array) -> Tuple[jax.Array, jax.Array]:

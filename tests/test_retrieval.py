@@ -261,6 +261,56 @@ def test_gallery_index_build_save_load_serve(key, tmp_path):
         )
 
 
+def test_sharded_store_decode_matches_dense(key, rng):
+    """make_sharded_retrieve_decode: each shard mask-decodes its own local
+    top-k from its own int8 store shard, then the merge ranks by IoU. With
+    k == shard size every real row is decoded, so the result must equal the
+    dense single-device computation (decode ALL rows, top-k by IoU) —
+    including shards that hold padding rows (G=13 on an 8-mesh)."""
+    from cor_tpu.models.prompt_encoder import get_dense_pe
+    from cor_tpu.models.sam_decoder import mask_decoder
+
+    cfg = tiny_core_config()
+    params = init_core_model(key, cfg)
+    dec_params = params["mask_decoder"]
+    image_pe = get_dense_pe(params["prompt_encoder"], cfg.prompt)
+    no_mask = np.asarray(params["prompt_encoder"]["no_mask_embed"][0])
+
+    mesh = make_mesh()
+    G, Q, D, k = 13, 3, 16, 2  # padded to 16 rows; k == padded shard size
+    gallery = _normed(rng, G, D)
+    queries = _normed(rng, Q, D)
+    store = rng.standard_normal((G, 4, 4, 16)).astype(np.float32) * 0.3
+
+    engine = RetrievalEngine(mesh, k=k)
+    engine.set_gallery(gallery)
+    engine.enable_store_decode(cfg.decoder, store, no_mask_embed=no_mask)
+    s_scores, s_iou, s_idx = engine.retrieve_decode(
+        jnp.asarray(queries), dec_params, image_pe
+    )
+    s_scores, s_iou, s_idx = map(np.asarray, (s_scores, s_iou, s_idx))
+
+    # dense reference on one device: decode every real row for every query
+    # through the SAME int8 store + scales, rank by IoU
+    store_q = jnp.asarray(np.asarray(engine.store_q)[:G])
+    scales = jnp.asarray(np.asarray(engine.store_scales)[:G])
+    dense_scores = queries @ gallery.T  # [Q, G]
+    for qi in range(Q):
+        prompts = jnp.broadcast_to(jnp.asarray(queries[qi]), (G, 1, D))
+        _, iou, _ = mask_decoder(
+            dec_params, store_q, image_pe, prompts, None, cfg.decoder,
+            multimask_output=False, fused=True,
+            store_idx=jnp.arange(G, dtype=jnp.int32), store_scale=scales,
+        )
+        iou = np.asarray(iou[:, 0], np.float32)
+        order = np.argsort(-iou)[:k]
+        np.testing.assert_array_equal(s_idx[qi], order)
+        np.testing.assert_allclose(s_iou[qi], iou[order], atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(
+            s_scores[qi], dense_scores[qi, order], atol=1e-5, rtol=1e-5
+        )
+
+
 def test_retrieval_server_end_to_end(key, tmp_path):
     """RetrievalServer: index -> warmup -> synthetic + file-based requests.
     Self-retrieval: a query whose gallery row was built from the SAME triplet
