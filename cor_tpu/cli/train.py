@@ -102,7 +102,7 @@ def main(argv=None):
     )
     state = create_train_state(params, tx)
 
-    state, start_epoch = resolve_resume(cfg, state, logger)
+    state, start_epoch, best_resume = resolve_resume(cfg, state, logger)
 
     if args.synthetic:
         train_ds = SyntheticDataset(length=4 * cfg.batch_size, seed=cfg.seed, train=True)
@@ -126,6 +126,10 @@ def main(argv=None):
         profile_steps=args.profile,
         profile_dir=Path(cfg.train_model_save_path) / "profile",
     )
+    if best_resume is not None:
+        # a resumed run must not clobber best_model with a worse epoch
+        trainer.best.best_score = best_resume["best_score"]
+        trainer.best.best_epoch = best_resume["best_epoch"]
     best = trainer.fit(train_loader, val_loader, start_epoch=start_epoch)
     writer.close()
     logger.info(

@@ -257,6 +257,13 @@ class DataLoader:
         n = self._shard_len()
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the shuffle order / augmentation draws to the TRAINER's epoch
+        number (torch DistributedSampler.set_epoch analog). Without this a
+        resumed run's fresh loader restarts its private counter at 0 and
+        replays epoch-0's shuffle and augmentation sequence."""
+        self.epoch = int(epoch)
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = np.arange(len(self.dataset))
         if self.shuffle:
@@ -287,18 +294,37 @@ class DataLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
 
         def produce():
+            from collections import deque
+
             with cf.ThreadPoolExecutor(self.num_workers) as pool:
-                # pipeline batch assembly: submit all, yield in order
-                futs = [
-                    pool.submit(lambda idxs=idxs: _collate([self.dataset[int(i)] for i in idxs]))
-                    for idxs in batches
-                ]
-                for f in futs:
-                    try:
-                        q.put(f.result())
-                    except Exception as e:  # surface worker errors
-                        q.put(e)
-                        return
+                # bounded decode-ahead (torch prefetch_factor semantics): at
+                # most num_workers + prefetch batches in flight, and each
+                # consumed future is DROPPED — submitting the whole epoch up
+                # front would decode ahead without bound and pin every
+                # result until epoch end (~190 MB/batch at the reference
+                # geometry -> host OOM on a 127K-row manifest)
+                ahead = self.num_workers + self.prefetch
+                pending: deque = deque()
+                it = iter(batches)
+                try:
+                    while True:
+                        while len(pending) < ahead:
+                            idxs = next(it, None)
+                            if idxs is None:
+                                break
+                            pending.append(
+                                pool.submit(
+                                    lambda idxs=idxs: _collate(
+                                        [self.dataset[int(i)] for i in idxs]
+                                    )
+                                )
+                            )
+                        if not pending:
+                            break
+                        q.put(pending.popleft().result())
+                except Exception as e:  # surface worker errors
+                    q.put(e)
+                    return
             q.put(stop)
 
         t = threading.Thread(target=produce, daemon=True)

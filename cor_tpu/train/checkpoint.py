@@ -26,20 +26,41 @@ def _as_path(p) -> Path:
     return Path(p).absolute()
 
 
+def _host_snapshot(payload, copy: bool = False):
+    """Materialize a pytree on the host. Multi-host: a leaf sharded across
+    processes is NOT fully addressable and np.asarray raises — gather it
+    with process_allgather (a collective: every process must participate)
+    so each host holds the full array."""
+
+    def conv(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.array(x) if copy else np.asarray(x)
+
+    return jax.tree.map(conv, payload)
+
+
 def save_checkpoint(
     directory: str | Path,
     name: str,
     payload: Dict[str, Any],
     overwrite: bool = True,
 ) -> Path:
-    """Atomic Orbax save of an arbitrary pytree under directory/name."""
+    """Atomic Orbax save of an arbitrary pytree under directory/name.
+
+    Multi-host: cross-process-sharded leaves are allgathered (collective —
+    all processes call this), then only process 0 writes the directory."""
     path = _as_path(directory) / name
+    host_payload = _host_snapshot(payload)
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return path
     ckptr = ocp.StandardCheckpointer()
     if overwrite and path.exists():
         import shutil
 
         shutil.rmtree(path)
-    host_payload = jax.tree.map(np.asarray, payload)
     ckptr.save(path, host_payload)
     ckptr.wait_until_finished()
     return path
@@ -76,15 +97,18 @@ class CheckpointWriter:
         if self._ckptr is None:
             return save_checkpoint(directory, name, payload, overwrite=overwrite)
         path = _as_path(directory) / name
+        # snapshot NOW, by copy: np.asarray is a no-op view for host arrays,
+        # and the caller (training loop) keeps mutating params while the
+        # background write proceeds. The snapshot is collective (multi-host
+        # allgather) so it runs on every process BEFORE the rank gate below.
+        host_payload = _host_snapshot(payload, copy=True)
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            return path
         self._ckptr.wait_until_finished()  # serialize; guard the rmtree below
         if overwrite and path.exists():
             import shutil
 
             shutil.rmtree(path)
-        # snapshot NOW, by copy: np.asarray is a no-op view for host arrays,
-        # and the caller (training loop) keeps mutating params while the
-        # background write proceeds
-        host_payload = jax.tree.map(lambda x: np.array(x), payload)
         self._ckptr.save(path, args=ocp.args.StandardSave(host_payload))
         return path
 
@@ -101,7 +125,16 @@ def restore_checkpoint(
     path = _as_path(directory) / name
     ckptr = ocp.StandardCheckpointer()
     if template is not None:
-        template = jax.tree.map(np.asarray, template)
+        # the template carries STRUCTURE/shape/dtype only — never download
+        # its values: np.asarray on a device-resident params template pulls
+        # ~1.2 GB through the remote-TPU relay (measured: a resume stalled
+        # >15 min on exactly that before this guard)
+        def host_like(x):
+            if isinstance(x, jax.Array):
+                return np.zeros(x.shape, x.dtype)
+            return np.asarray(x)
+
+        template = jax.tree.map(host_like, template)
         return ckptr.restore(path, target=template)
     return ckptr.restore(path)
 
@@ -109,14 +142,19 @@ def restore_checkpoint(
 def resolve_resume(cfg, state, logger):
     """Resume-decision logic shared by the train CLI (my_train_a.py:206-223).
 
-    Returns (state, start_epoch). Semantics:
+    Returns (state, start_epoch, best) — ``best`` is {"best_score",
+    "best_epoch"} when the checkpoint carries best-tracker state (so a
+    resumed run cannot clobber best_model with a worse epoch), else None.
+    Semantics:
     - explicit ``cfg.load_checkpoint_path``: missing or unrestorable is a
       hard error (the reference fails loudly too), never a silent fresh start
-    - auto-resume (newest ``checkpoint_epoch_N``): unrestorable degrades to
-      a fresh start, but with a prominent WARNING — a corrupted latest
-      checkpoint silently restarting a long run is the failure mode
-    - checkpoints are saved with or without a 'loss' entry (epoch saves carry
-      one; best_model_full / interrupted saves don't) — probe both templates
+    - auto-resume (newest ``[interrupted_]checkpoint_epoch_N``): unrestorable
+      degrades to a fresh start, but with a prominent WARNING — a corrupted
+      latest checkpoint silently restarting a long run is the failure mode
+    - an ``interrupted_`` save re-runs its (cut-short) epoch; a periodic
+      save starts at epoch+1
+    - older checkpoints may lack 'loss' and/or best-tracker entries — probe
+      the template combinations
     """
     from cor_tpu.train.step import TrainState
 
@@ -128,6 +166,7 @@ def resolve_resume(cfg, state, logger):
             f"load_checkpoint_path={resume!r} not found under "
             f"{cfg.train_model_save_path!r}"
         )
+    best = None
     if resume and Path(str(cfg.train_model_save_path), str(resume)).exists():
         base = {
             "params": state.params,
@@ -135,8 +174,14 @@ def resolve_resume(cfg, state, logger):
             "step": state.step,
             "epoch": np.int32(0),
         }
+        tracker = {"best_score": np.float32(0), "best_epoch": np.int32(0)}
         restored, last_err = None, None
-        for template in (base, {**base, "loss": np.float32(0)}):
+        for template in (
+            {**base, **tracker, "loss": np.float32(0)},
+            {**base, **tracker},
+            {**base, "loss": np.float32(0)},
+            base,
+        ):
             try:
                 restored = restore_checkpoint(cfg.train_model_save_path, str(resume), template)
                 break
@@ -144,7 +189,13 @@ def resolve_resume(cfg, state, logger):
                 last_err = e
         if restored is not None:
             state = TrainState(restored["params"], restored["opt_state"], restored["step"])
-            start_epoch = int(restored["epoch"]) + 1
+            interrupted = str(resume).startswith("interrupted_")
+            start_epoch = max(int(restored["epoch"]) + (0 if interrupted else 1), 1)
+            if "best_score" in restored:
+                best = {
+                    "best_score": float(restored["best_score"]),
+                    "best_epoch": int(restored["best_epoch"]),
+                }
             logger.info(f"Resumed from {resume} at epoch {start_epoch}")
         elif explicit:
             raise RuntimeError(
@@ -159,22 +210,38 @@ def resolve_resume(cfg, state, logger):
                 "load_checkpoint_path at a good checkpoint (explicit paths "
                 "hard-fail instead of restarting)."
             )
-    return state, start_epoch
+    return state, start_epoch, best
 
 
 def latest_epoch_checkpoint(directory: str | Path) -> Optional[str]:
-    """Find the newest `checkpoint_epoch_N` under directory (resume support,
-    reference: my_train_a.py:206-223)."""
+    """Find the resume checkpoint under directory (resume support,
+    reference: my_train_a.py:206-223).
+
+    Considers both periodic `checkpoint_epoch_N` (epoch N COMPLETE — resume
+    at N+1) and emergency `interrupted_checkpoint_epoch_N` (epoch N was cut
+    short — resume re-runs N) saves, and returns the one whose resume point
+    is latest; a tie prefers the complete save (its optimizer state sits at
+    a clean epoch boundary). Without the interrupted names a preempted run
+    would silently fall back to a save up to train_model_save_epoch epochs
+    old, defeating the SIGTERM emergency path."""
     d = _as_path(directory)
     if not d.exists():
         return None
-    best, best_epoch = None, -1
+    best, best_resume, best_complete = None, -1, False
     for entry in d.iterdir():
-        if entry.is_dir() and entry.name.startswith("checkpoint_epoch_"):
-            try:
-                e = int(entry.name.rsplit("_", 1)[1])
-            except ValueError:
-                continue
-            if e > best_epoch:
-                best, best_epoch = entry.name, e
+        if not entry.is_dir():
+            continue
+        complete = entry.name.startswith("checkpoint_epoch_")
+        interrupted = entry.name.startswith("interrupted_checkpoint_epoch_")
+        if not (complete or interrupted):
+            continue
+        try:
+            e = int(entry.name.rsplit("_", 1)[1])
+        except ValueError:
+            continue
+        resume_at = e + 1 if complete else e
+        if resume_at > best_resume or (
+            resume_at == best_resume and complete and not best_complete
+        ):
+            best, best_resume, best_complete = entry.name, resume_at, complete
     return best

@@ -88,13 +88,10 @@ def count_params(params, mask=None) -> int:
 
 
 def clip_by_value(clip: float) -> optax.GradientTransformation:
-    def init_fn(params):
-        return optax.EmptyState()
-
-    def update_fn(updates, state, params=None):
-        return jax.tree.map(lambda g: jnp.clip(g, -clip, clip), updates), state
-
-    return optax.GradientTransformation(init_fn, update_fn)
+    """Element-wise clamp to [-clip, clip] — exactly ``optax.clip``, kept as
+    a named alias because the reference's `clip_gradient` clamps VALUES, not
+    norms (utils/utils.py:121-133), and the name documents that choice."""
+    return optax.clip(clip)
 
 
 # ---------------------------------------------------------------------------

@@ -86,7 +86,7 @@ def make_train_step(
         b = jax.tree.leaves(batch)[0].shape[0]
         assert b % grad_accum == 0, (
             f"batch {b} not divisible by grad_accum={grad_accum} "
-            "(the trainer pads to lcm(mesh, grad_accum))"
+            "(the trainer pads to n_data * grad_accum)"
         )
         micro = jax.tree.map(
             lambda x: x.reshape(grad_accum, b // grad_accum, *x.shape[1:]), batch

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cor_tpu.config import TrainConfig
-from cor_tpu.parallel import make_mesh, pad_batch, replicated, shard_batch
+from cor_tpu.parallel import make_mesh, replicated, shard_batch
 from cor_tpu.parallel.mesh import DATA_AXIS
 from cor_tpu.train.checkpoint import CheckpointWriter
 from cor_tpu.train.step import TrainState, make_eval_step, make_train_step
@@ -74,6 +74,15 @@ class Trainer:
 
             set_activation_mesh(self.mesh)
         self.state = jax.device_put(state, replicated(self.mesh))
+        if self.mesh.shape.get("model", 1) > 1:
+            # mesh_model > 1 means Megatron tensor parallelism — actually
+            # apply the column/row param splits (a replicated state would
+            # silently halve data parallelism and shard nothing)
+            from cor_tpu.parallel import shard_params
+
+            self.state = self.state._replace(
+                params=shard_params(self.mesh, self.state.params)
+            )
         if getattr(cfg, "shard_optimizer_state", False):
             from cor_tpu.parallel import shard_opt_state
 
@@ -106,6 +115,11 @@ class Trainer:
     # ------------------------------------------------------------------
     def train_epoch(self, loader, epoch: int) -> float:
         cfg = self.cfg
+        if hasattr(loader, "set_epoch"):
+            # pin shuffle order + augmentation draws to the REAL epoch
+            # number so a resumed run continues the uninterrupted run's data
+            # sequence instead of replaying epoch 0's
+            loader.set_epoch(epoch)
         self.logger.info("=" * 35 + f" Training Epoch: {epoch} " + "=" * 35)
         lr = float(self.lr_schedule(epoch))
         # the reference's AverageMeter.average is the CUMULATIVE mean — the
@@ -246,7 +260,21 @@ class Trainer:
         try:
             for epoch in range(start_epoch, self.cfg.epoch + 1):
                 self.train_epoch(train_loader, epoch)
-                self.val_epoch(val_loader, epoch)
+                try:
+                    self.val_epoch(val_loader, epoch)
+                except KeyboardInterrupt:
+                    # a preemption landing during VALIDATION (a full val-split
+                    # pass every epoch) must leave an emergency checkpoint
+                    # too, not just one inside train_epoch. Epoch N's TRAINING
+                    # is already complete here, so save a regular
+                    # checkpoint_epoch_N — resume continues at N+1 instead of
+                    # re-running N's optimizer updates.
+                    self.logger.info(
+                        "[Train Info]: Interrupt during validation: saving and exiting!"
+                    )
+                    self._save(f"checkpoint_epoch_{epoch}", epoch)
+                    self.ckpt.wait()
+                    raise
         finally:
             self.ckpt.wait()  # drain any in-flight async checkpoint write
             if prev_handler is not None:
@@ -260,20 +288,37 @@ class Trainer:
         return self.best
 
     # ------------------------------------------------------------------
-    def _device_batch(self, batch) -> Dict[str, jnp.ndarray]:
+    def _device_batch(self, batch) -> Dict[str, np.ndarray]:
         keep = ("query_img", "query_mask", "support_img", "support_mask", "text")
-        out = {k: jnp.asarray(batch[k]) for k in keep}
+        # pad ON THE HOST (numpy): the loader yields numpy, and shard_batch
+        # does the one host->device transfer against the mesh sharding —
+        # jnp-side padding would commit the full batch to device 0 first and
+        # (multi-host) pull it back to host for
+        # make_array_from_process_local_data, a per-step round trip.
+        out = {k: np.asarray(batch[k]) for k in keep}
         # pad to the mesh multiple (batch_size 10 on an 8-device mesh; partial
         # drop_last=False val batches) — padded rows are valid-masked out of
-        # the loss and the (sum, count) eval reduction. With grad_accum the
-        # batch must also split into equal microbatches: pad to the lcm.
-        import math
-
+        # the loss and the (sum, count) eval reduction. With grad_accum each
+        # of the accum scan microbatches must ITSELF shard over the data
+        # axis, so the multiple is n_data * accum (lcm is NOT enough:
+        # n_data=8, accum=4 -> lcm 8 -> 2-row microbatches on an 8-way axis).
         n_data = self.mesh.shape[DATA_AXIS]
         accum = max(getattr(self.cfg, "grad_accum", 1), 1)
-        multiple = math.lcm(n_data, accum)
+        multiple = n_data * accum
         target = -(-self.cfg.batch_size // multiple) * multiple
-        return pad_batch(out, multiple, target=target)
+        n = out[keep[0]].shape[0]
+        size = -(-max(n, target) // multiple) * multiple
+        pad = size - n
+        valid = np.concatenate(
+            [np.ones((n,), np.float32), np.zeros((pad,), np.float32)]
+        )
+        if pad:
+            out = {
+                k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)], axis=0)
+                for k, v in out.items()
+            }
+        out["valid"] = valid
+        return out
 
     def _save(self, name: str, epoch: int, loss: Optional[float] = None, params_only: bool = False):
         if params_only:
@@ -284,6 +329,10 @@ class Trainer:
                 "opt_state": self.state.opt_state,
                 "step": self.state.step,
                 "epoch": np.int32(epoch),
+                # best-tracker state rides along so a resumed run cannot
+                # clobber best_model with its first (possibly worse) epoch
+                "best_score": np.float32(self.best.best_score),
+                "best_epoch": np.int32(self.best.best_epoch),
             }
             if loss is not None:
                 payload["loss"] = np.float32(loss)

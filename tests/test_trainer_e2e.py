@@ -77,12 +77,15 @@ def test_trainer_e2e_with_checkpointing(tmp_path, tiny_synth_loaders):
     assert (tmp_path / "best_model").exists()
     assert (tmp_path / "best_model_full").exists()
 
-    # resume roundtrip: params restore bit-exact
+    # resume roundtrip: params restore bit-exact (epoch saves now carry the
+    # best-tracker state so resumed runs can't clobber best_model)
     template = {
         "params": trainer.state.params,
         "opt_state": trainer.state.opt_state,
         "step": trainer.state.step,
         "epoch": np.int32(0),
+        "best_score": np.float32(0),
+        "best_epoch": np.int32(0),
         "loss": np.float32(0),
     }
     restored = restore_checkpoint(tmp_path, "checkpoint_epoch_2", template)
@@ -249,15 +252,15 @@ def test_resolve_resume_corrupted_and_missing(tmp_path, caplog):
             "loss": np.float32(0.5),
         },
     )
-    st, start = resolve_resume(cfg, state, logger)
-    assert start == 4 and int(st.step) == 5
+    st, start, best = resolve_resume(cfg, state, logger)
+    assert start == 4 and int(st.step) == 5 and best is None
 
     # corrupt the checkpoint directory in place
     shutil.rmtree(tmp_path / "checkpoint_epoch_3")
     (tmp_path / "checkpoint_epoch_3").mkdir()
     (tmp_path / "checkpoint_epoch_3" / "garbage").write_text("not a checkpoint")
     with caplog.at_level(logging.WARNING, logger="resume-test"):
-        st, start = resolve_resume(cfg, state, logger)
+        st, start, best = resolve_resume(cfg, state, logger)
     assert start == 1
     assert any("AUTO-RESUME FAILED" in r.getMessage() for r in caplog.records)
 
@@ -276,3 +279,64 @@ def test_resolve_resume_corrupted_and_missing(tmp_path, caplog):
     )
     with pytest.raises(FileNotFoundError):
         resolve_resume(cfg_missing, state, logger)
+
+
+def test_interrupted_checkpoint_auto_resume(tmp_path):
+    """latest_epoch_checkpoint considers interrupted_checkpoint_epoch_N
+    (epoch N cut short -> re-run N) next to periodic checkpoint_epoch_N
+    (complete -> resume at N+1) and picks the latest resume point; resume
+    restores best-tracker state so best_model can't be clobbered."""
+    import optax
+
+    from cor_tpu.train.checkpoint import resolve_resume
+    from cor_tpu.train.step import TrainState
+
+    params = {"w": np.ones((2, 2), np.float32)}
+    tx = optax.sgd(1e-2)
+    state = TrainState(params, tx.init(params), np.int32(0))
+    logger = logging.getLogger("resume-test2")
+    cfg = TrainConfig(train_model_save_path=str(tmp_path), compute_dtype="float32")
+
+    def save(name, epoch, **extra):
+        save_checkpoint(
+            tmp_path, name,
+            {"params": params, "opt_state": state.opt_state,
+             "step": np.int32(epoch * 10), "epoch": np.int32(epoch), **extra},
+        )
+
+    # preemption after periodic save at 5, interrupted mid-epoch 7
+    save("checkpoint_epoch_5", 5)
+    save("interrupted_checkpoint_epoch_7", 7,
+         best_score=np.float32(1.25), best_epoch=np.int32(6))
+    assert latest_epoch_checkpoint(tmp_path) == "interrupted_checkpoint_epoch_7"
+    st, start, best = resolve_resume(cfg, state, logger)
+    assert start == 7  # re-run the cut-short epoch
+    assert int(st.step) == 70
+    assert best == {"best_score": 1.25, "best_epoch": 6}
+
+    # a complete save at the same resume point wins the tie (clean boundary)
+    save("checkpoint_epoch_6", 6)
+    assert latest_epoch_checkpoint(tmp_path) == "checkpoint_epoch_6"
+    _, start, _ = resolve_resume(cfg, state, logger)
+    assert start == 7
+
+
+def test_loader_set_epoch_pins_shuffle_order():
+    """DataLoader.set_epoch (DistributedSampler analog): the same epoch
+    number replays the same shuffle order; a fresh loader resumed at epoch 3
+    matches the uninterrupted loader's epoch-3 order, not epoch 0's."""
+    ds = SyntheticDataset(length=16, seed=0, train=True)
+
+    def order_of(loader):
+        return [int(b["pair_id"][0]) for b in loader]
+
+    uninterrupted = DataLoader(ds, 4, shuffle=True, num_workers=1, seed=9)
+    epochs = []
+    for e in range(4):
+        uninterrupted.set_epoch(e)
+        epochs.append(order_of(uninterrupted))
+    assert epochs[0] != epochs[3]  # shuffle actually varies by epoch
+
+    resumed = DataLoader(ds, 4, shuffle=True, num_workers=1, seed=9)
+    resumed.set_epoch(3)
+    assert order_of(resumed) == epochs[3]
