@@ -48,14 +48,9 @@ def main(argv=None):
 
     from cor_tpu.config import load_eval_config
     from cor_tpu.data.pipeline import get_valid_loader
-    from cor_tpu.eval.validator import save_hard_pred_masks, save_soft_pred_masks, val_metric
+    from cor_tpu.eval.validator import run_eval_split
     from cor_tpu.models.core_model import init_core_model
-    from cor_tpu.train.checkpoint import restore_checkpoint
     from cor_tpu.train.step import make_predict_step
-    from cor_tpu.utils.convert import (
-        convert_core_checkpoint,
-        load_torch_state_dict,
-    )
     from cor_tpu.utils.meters import init_logger
 
     cfg = load_eval_config(args.config)
@@ -71,31 +66,15 @@ def main(argv=None):
 
     params = init_core_model(jax.random.PRNGKey(cfg.seed), core_cfg)
     if cfg.load_checkpoint_path:
-        ckpt = Path(cfg.load_checkpoint_path)
-        if ckpt.suffix in (".pth", ".pt", ".bin"):
-            # trained CORE torch checkpoint (incl. DDP prefixes + audit,
-            # reference: my_test.py:117-185)
-            sd = load_torch_state_dict(str(ckpt))
-            sig = core_cfg.support.siglip
-            loaded = convert_core_checkpoint(
-                sd,
-                encoder_depth=core_cfg.encoder.depth,
-                siglip_vision_depth=sig.vision.depth,
-                siglip_text_depth=sig.text.depth,
-                mask_pooling=cfg.mask_pooling,
-            )
-            from cor_tpu.utils.convert import audit_params
+        from cor_tpu.utils.convert import load_trained_params
 
-            audit = audit_params(params, loaded)
-            for kind, keys in audit.items():
-                if keys:
-                    logger.info(f"[ckpt audit] {kind} ({len(keys)}): {keys[:10]}")
-            params = loaded
-            logger.info(f"Loaded torch CORE checkpoint: {ckpt}")
-        else:
-            restored = restore_checkpoint(ckpt.parent, ckpt.name, {"params": params})
-            params = restored["params"]
-            logger.info(f"Loaded Orbax checkpoint: {ckpt}")
+        # one shared loader for every inference CLI: torch CORE .pth (DDP
+        # prefixes + audit) or ANY trainer-written Orbax layout (params-only
+        # best_model, full checkpoint_epoch_N / best_model_full /
+        # interrupted_* — a params-only template would reject the full ones)
+        params = load_trained_params(
+            cfg.load_checkpoint_path, core_cfg, params, logger, cfg.mask_pooling
+        )
 
     predict = make_predict_step(core_cfg)
 
@@ -109,34 +88,29 @@ def main(argv=None):
         # that convention matches; the loader is unshuffled/drop_last=False so
         # manifest row order == sample order
         mask_names = list(loader.dataset.df["Query_mask"].astype(str))
-        written = save_hard_pred_masks(predict, params, loader, out_dir, mask_names=mask_names)
-        logger.info(f"[{split_name}] wrote {len(written)} hard masks to {out_dir}")
-        if args.soft:
-            loader = get_valid_loader(cfg, csv_path=csv_path)
-            save_soft_pred_masks(predict, params, loader, out_dir, mask_names=mask_names)
-        if args.visualize > 0:
-            from cor_tpu.eval.visualize import val_visual_for_compare
-
-            loader = get_valid_loader(cfg, csv_path=csv_path)
-            panels = val_visual_for_compare(
-                predict,
-                params,
-                loader,
-                out_dir,
-                manifest=getattr(loader.dataset, "df", None),
-                max_samples=args.visualize,
-            )
-            logger.info(f"[{split_name}] wrote {len(panels)} visualization panels")
-        loader = get_valid_loader(cfg, csv_path=csv_path)
-        summary = val_metric(
+        # ONE forward pass over the split feeds every consumer (hard/soft
+        # dumps, metric CSV, panels) — the SAM-encoder forward dominates eval
+        # wall time, so separate passes cost up to 4x the device time
+        result = run_eval_split(
             predict,
             params,
             loader,
-            out_dir / "val_metric.csv",
+            out_dir,
             manifest=getattr(loader.dataset, "df", None),
+            mask_names=mask_names,
+            soft=args.soft,
+            visualize_n=args.visualize,
         )
+        logger.info(f"[{split_name}] wrote {len(result['hard'])} hard masks to {out_dir}")
+        if args.soft:
+            logger.info(f"[{split_name}] wrote {len(result['soft'])} soft masks")
+        if args.visualize > 0:
+            logger.info(
+                f"[{split_name}] wrote {len(result['panels'])} visualization panels"
+            )
         logger.info(
-            f"[{split_name}] " + ", ".join(f"{k}={v:.4f}" for k, v in summary.items())
+            f"[{split_name}] "
+            + ", ".join(f"{k}={v:.4f}" for k, v in result["summary"].items())
         )
 
 

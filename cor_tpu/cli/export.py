@@ -43,9 +43,9 @@ def export_checkpoint(checkpoint: str | Path, out: str | Path) -> dict:
 
     out = Path(out)
     out.parent.mkdir(parents=True, exist_ok=True)
-    save_core_checkpoint(str(out), params, epoch=epoch, loss=loss)
-    n_keys = len(export_core_state_dict(params))
-    return {"epoch": epoch, "loss": loss, "n_keys": n_keys, "out": str(out)}
+    sd = export_core_state_dict(params)  # built ONCE (fp32 copy of everything)
+    save_core_checkpoint(str(out), epoch=epoch, loss=loss, state_dict=sd)
+    return {"epoch": epoch, "loss": loss, "n_keys": len(sd), "out": str(out)}
 
 
 def main(argv=None):

@@ -22,6 +22,7 @@ serving shards, not a full 127K dump.
 from __future__ import annotations
 
 import argparse
+import logging
 import json
 from pathlib import Path
 
@@ -29,25 +30,11 @@ import numpy as np
 
 
 def build_index(core_cfg, params, loader, with_store: bool = False):
-    """One pass over a triplet loader -> (embeddings [G, D], pair_ids [G],
-    store [G, g, g, C] or None)."""
-    import jax.numpy as jnp
+    """Alias of cor_tpu.retrieval.index.build_gallery (the one canonical
+    gallery-encoding loop)."""
+    from cor_tpu.retrieval.index import build_gallery
 
-    from cor_tpu.retrieval.index import make_candidate_encoder
-
-    encode = make_candidate_encoder(core_cfg)
-    embs, ids, stores = [], [], []
-    for b in loader:
-        e, ie = encode(params, jnp.asarray(b["query_img"]), jnp.asarray(b["query_mask"]))
-        embs.append(np.asarray(e))
-        ids.append(np.asarray(b["pair_id"]))
-        if with_store:
-            stores.append(np.asarray(ie, np.float16))
-    return (
-        np.concatenate(embs, axis=0),
-        np.concatenate(ids, axis=0),
-        np.concatenate(stores, axis=0) if with_store else None,
-    )
+    return build_gallery(core_cfg, params, loader, with_store=with_store)
 
 
 def main(argv=None):
@@ -81,6 +68,16 @@ def main(argv=None):
     if cfg.load_sam_pretrained_checkpoint:
         params = load_sam_weights(
             params, cfg.load_sam_pretrained_checkpoint, core_cfg.encoder.depth
+        )
+    if cfg.load_checkpoint_path:
+        from cor_tpu.utils.convert import load_trained_params
+
+        # trained CORE weights (torch .pth or any Orbax training layout) —
+        # without this the index builder would silently use untrained fusion/
+        # decoder weights while the config promises a trained model
+        params = load_trained_params(
+            cfg.load_checkpoint_path, core_cfg, params,
+            logging.getLogger("cor_tpu.index"), cfg.mask_pooling,
         )
 
     if args.synthetic:

@@ -17,6 +17,7 @@ measured end-to-end through the sharded gallery scan.
 from __future__ import annotations
 
 import argparse
+import logging
 import json
 from pathlib import Path
 
@@ -80,6 +81,16 @@ def main(argv=None):
         params = load_siglip_weights(
             params, cfg.load_siglip_pretrained_checkpoint, sig.vision.depth, sig.text.depth
         )
+    if cfg.load_checkpoint_path:
+        from cor_tpu.utils.convert import load_trained_params
+
+        # trained CORE weights (torch .pth or any Orbax training layout) —
+        # without this the retrieval protocol would silently use untrained fusion/
+        # decoder weights while the config promises a trained model
+        params = load_trained_params(
+            cfg.load_checkpoint_path, core_cfg, params,
+            logging.getLogger("cor_tpu.retrieve"), cfg.mask_pooling,
+        )
 
     batch_size = args.batch_size or cfg.batch_size
     if (
@@ -119,7 +130,9 @@ def main(argv=None):
         )
     loader = DataLoader(ds, batch_size, num_workers=cfg.num_workers)
 
-    ks = tuple(k for k in (1, 5, 10) if k <= args.k) or (1,)
+    # the user's --k cutoff is always reported (plus the standard 1/5/10
+    # below it) — filtering to a hardcoded set silently dropped e.g. --k 3
+    ks = tuple(sorted({k for k in (1, 5, 10) if k < args.k} | {args.k}))
     if args.gallery_index:
         from cor_tpu.retrieval.index import load_gallery_index
 

@@ -19,6 +19,7 @@ smoke-drives the full path without any data on disk.
 from __future__ import annotations
 
 import argparse
+import logging
 import json
 import sys
 
@@ -68,6 +69,16 @@ def main(argv=None):
         sig = core_cfg.support.siglip
         params = load_siglip_weights(
             params, cfg.load_siglip_pretrained_checkpoint, sig.vision.depth, sig.text.depth
+        )
+    if cfg.load_checkpoint_path:
+        from cor_tpu.utils.convert import load_trained_params
+
+        # trained CORE weights (torch .pth or any Orbax training layout) —
+        # without this the server would silently use untrained fusion/
+        # decoder weights while the config promises a trained model
+        params = load_trained_params(
+            cfg.load_checkpoint_path, core_cfg, params,
+            logging.getLogger("cor_tpu.serve"), cfg.mask_pooling,
         )
 
     index = load_gallery_index(args.gallery_index)

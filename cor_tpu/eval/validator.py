@@ -98,6 +98,43 @@ def sample_metrics(pred_soft: np.ndarray, gt_bin: np.ndarray) -> Dict[str, float
 # ---------------------------------------------------------------------------
 
 
+def predict_stream(predict_fn, params, loader):
+    """One device forward per batch -> (batch, probs [B, H, W]) pairs — the
+    shared prediction loop every eval consumer iterates."""
+    for batch in loader:
+        dev_batch = {k: jnp.asarray(batch[k]) for k in _PRED_KEYS}
+        yield batch, np.asarray(predict_fn(params, dev_batch))[..., 0]
+
+
+def dump_sample(
+    probs_i: np.ndarray,
+    batch,
+    i: int,
+    sample_idx: int,
+    out_dir: Path,
+    hard: bool,
+    mask_names: Optional[List[str]],
+) -> Path:
+    """Write one prediction PNG at the GT's native resolution, named
+    {pair_id}_{query_mask_name} (reference: vailder.py:442-492)."""
+    native = batch.get("native_hw")
+    hw = native[i] if native is not None else probs_i.shape[:2]
+    p = _resize_to_native(probs_i, hw)
+    if hard:
+        img = ((p > 0.5).astype(np.uint8)) * 255  # vailder.py:473
+    else:
+        img = np.clip(p * 255.0, 0, 255).astype(np.uint8)
+    pair_id = int(batch["pair_id"][i])
+    name = (
+        mask_names[sample_idx]
+        if mask_names is not None
+        else f"mask_{sample_idx:06d}.png"
+    )
+    path = out_dir / f"{pair_id}_{name}"
+    Image.fromarray(img, "L").save(path)
+    return path
+
+
 def save_pred_masks(
     predict_fn,
     params,
@@ -117,27 +154,12 @@ def save_pred_masks(
     out_dir.mkdir(parents=True, exist_ok=True)
     written: List[Path] = []
     sample_idx = 0
-    for batch in loader:
-        dev_batch = {k: jnp.asarray(batch[k]) for k in _PRED_KEYS}
-        probs = np.asarray(predict_fn(params, dev_batch))[..., 0]  # [B, H, W]
+    for batch, probs in predict_stream(predict_fn, params, loader):
         for i in range(probs.shape[0]):
             try:
-                native = batch.get("native_hw")
-                hw = native[i] if native is not None else probs.shape[1:3]
-                p = _resize_to_native(probs[i], hw)
-                if hard:
-                    img = ((p > 0.5).astype(np.uint8)) * 255  # vailder.py:473
-                else:
-                    img = np.clip(p * 255.0, 0, 255).astype(np.uint8)
-                pair_id = int(batch["pair_id"][i])
-                name = (
-                    mask_names[sample_idx]
-                    if mask_names is not None
-                    else f"mask_{sample_idx:06d}.png"
+                written.append(
+                    dump_sample(probs[i], batch, i, sample_idx, out_dir, hard, mask_names)
                 )
-                path = out_dir / f"{pair_id}_{name}"
-                Image.fromarray(img, "L").save(path)
-                written.append(path)
             except Exception as e:  # one bad sample must not kill the split
                 log.warning(f"skipping sample {sample_idx} ({e})")
             sample_idx += 1
@@ -238,46 +260,125 @@ def val_metric(
     (same cv2 resize to the same native_hw).
     """
     csv_path = Path(csv_path)
-    csv_path.parent.mkdir(parents=True, exist_ok=True)
     meta_lookup = manifest_meta_lookup(manifest)
     rows = []
     sample_idx = 0
-    for batch in loader:
-        dev_batch = {k: jnp.asarray(batch[k]) for k in _PRED_KEYS}
-        probs = np.asarray(predict_fn(params, dev_batch))[..., 0]  # [B, H, W]
+    for batch, probs in predict_stream(predict_fn, params, loader):
         for i in range(probs.shape[0]):
             try:
-                native = batch.get("native_hw")
-                hw = native[i] if native is not None else probs.shape[1:3]
-                p = _resize_to_native(probs[i].astype(np.float32), hw)
-                p = (p - p.min()) / (p.max() - p.min() + 1e-8)
-                gt = _native_gt(batch, i, hw)
-                if gt is None:
-                    raise ValueError("no GT available for sample")
-                pid = int(batch["pair_id"][i])
-                row = {"Id": pid}
-                m = meta_lookup(pid)
-                if m is not None:
-                    for c in _META_COLUMNS:
-                        if c in m:
-                            row[c] = m[c]
-                row.update(sample_metrics(p, gt))
-                rows.append(row)
+                rows.append(metric_row(probs[i], batch, i, meta_lookup))
             except Exception as e:
                 log.warning(f"val_metric: skipping sample {sample_idx} ({e})")
             sample_idx += 1
+    return write_metric_csv(rows, csv_path)
 
-    # ordered union of row keys: the per-row meta join can yield differing
-    # key sets (a pair id missing from the manifest skips its meta columns),
-    # and DictWriter raises on keys absent from fieldnames
+
+def run_eval_split(
+    predict_fn,
+    params,
+    loader,
+    out_dir: str | Path,
+    manifest=None,
+    mask_names: Optional[List[str]] = None,
+    soft: bool = False,
+    visualize_n: int = 0,
+    csv_name: str = "val_metric.csv",
+) -> Dict:
+    """ONE forward pass per batch feeding every eval consumer — hard (and
+    optionally soft) mask dumps, the per-sample metric CSV, and the first N
+    visualization panels. Running the four consumers separately re-runs the
+    SAM-encoder-dominated forward up to 4x over the whole split
+    (cli.eval previously did exactly that).
+
+    Returns {"hard": [paths], "soft": [paths], "panels": [paths],
+    "summary": {metric: mean}}.
+    """
+    out_dir = Path(out_dir)
+    hard_dir = out_dir / "pred_masks"
+    hard_dir.mkdir(parents=True, exist_ok=True)
+    soft_dir = out_dir / "soft_pred_masks"
+    if soft:
+        soft_dir.mkdir(parents=True, exist_ok=True)
+    vis_dir = out_dir / "visualizations"
+    if visualize_n:
+        vis_dir.mkdir(parents=True, exist_ok=True)
+        from cor_tpu.eval.visualize import render_panel
+
+    meta_lookup = manifest_meta_lookup(manifest)
+    hard_written: List[Path] = []
+    soft_written: List[Path] = []
+    panels: List[Path] = []
+    rows: List[Dict] = []
+    sample_idx = 0
+    for batch, probs in predict_stream(predict_fn, params, loader):
+        for i in range(probs.shape[0]):
+            try:
+                hard_written.append(
+                    dump_sample(probs[i], batch, i, sample_idx, hard_dir, True, mask_names)
+                )
+            except Exception as e:
+                log.warning(f"skipping sample {sample_idx} ({e})")
+            if soft:
+                try:
+                    soft_written.append(
+                        dump_sample(probs[i], batch, i, sample_idx, soft_dir, False, mask_names)
+                    )
+                except Exception as e:
+                    log.warning(f"soft dump: skipping sample {sample_idx} ({e})")
+            try:
+                rows.append(metric_row(probs[i], batch, i, meta_lookup))
+            except Exception as e:
+                log.warning(f"val_metric: skipping sample {sample_idx} ({e})")
+            if visualize_n and len(panels) < visualize_n:
+                try:
+                    panels.append(
+                        render_panel(probs[i], batch, i, meta_lookup, vis_dir)
+                    )
+                except Exception as e:
+                    log.warning(f"visualize: skipping sample {sample_idx} ({e})")
+            sample_idx += 1
+    summary = write_metric_csv(rows, out_dir / csv_name)
+    return {
+        "hard": hard_written,
+        "soft": soft_written,
+        "panels": panels,
+        "summary": summary,
+    }
+
+
+def metric_row(probs_i: np.ndarray, batch, i: int, meta_lookup) -> Dict:
+    """One sample's binarized-metric CSV row at native GT resolution, with
+    the manifest's metadata columns joined by pair Id."""
+    native = batch.get("native_hw")
+    hw = native[i] if native is not None else probs_i.shape[:2]
+    p = _resize_to_native(probs_i.astype(np.float32), hw)
+    p = (p - p.min()) / (p.max() - p.min() + 1e-8)
+    gt = _native_gt(batch, i, hw)
+    if gt is None:
+        raise ValueError("no GT available for sample")
+    pid = int(batch["pair_id"][i])
+    row = {"Id": pid}
+    m = meta_lookup(pid)
+    if m is not None:
+        for c in _META_COLUMNS:
+            if c in m:
+                row[c] = m[c]
+    row.update(sample_metrics(p, gt))
+    return row
+
+
+def write_metric_csv(rows: List[Dict], csv_path: Path) -> Dict[str, float]:
+    """Write the per-sample CSV (ordered-union fieldnames: the per-row meta
+    join can yield differing key sets, and DictWriter raises on keys absent
+    from fieldnames) and return the metric summary means."""
+    csv_path = Path(csv_path)
+    csv_path.parent.mkdir(parents=True, exist_ok=True)
     fields = list(dict.fromkeys(k for r in rows for k in r)) if rows else ["Id"]
     with open(csv_path, "w", newline="") as f:
         writer = csv.DictWriter(f, fieldnames=fields, restval="")
         writer.writeheader()
         writer.writerows(rows)
-
     metric_keys = ("Dice", "MAE", "IoU", "mDice", "mIoU")
-    summary = {
+    return {
         k: (float(np.mean([r[k] for r in rows])) if rows else 0.0) for k in metric_keys
     }
-    return summary

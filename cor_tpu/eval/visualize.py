@@ -67,6 +67,54 @@ def _sample_text(pair_id: int, meta) -> str:
     return "\n".join(lines)
 
 
+def render_panel(
+    probs_i: np.ndarray,
+    batch,
+    i: int,
+    meta_lookup,
+    out_dir: Path,
+    target_size: Tuple[int, int] = (256, 256),
+    padding: int = 10,
+    font=None,
+) -> Path:
+    """Render one 5-panel comparison canvas (query | GT | pred | support |
+    support mask + caption) for sample i of a batch."""
+    from PIL import Image, ImageDraw, ImageFont
+
+    font = font or ImageFont.load_default()
+    tw, th = target_size
+    canvas_width = 5 * tw + 6 * padding
+    pair_id = int(batch["pair_id"][i])
+    meta = meta_lookup(pair_id)
+
+    panels = [
+        _denorm_to_pil(np.asarray(batch["query_img"][i]), target_size),
+        _mask_to_pil(np.asarray(batch["query_mask"][i]), target_size, binarize=True),
+        _mask_to_pil(probs_i, target_size, binarize=True),
+        _denorm_to_pil(np.asarray(batch["support_img"][i]), target_size),
+        _mask_to_pil(np.asarray(batch["support_mask"][i]), target_size, binarize=True),
+    ]
+
+    text_str = _sample_text(pair_id, meta)
+    n_lines = text_str.count("\n") + 1
+    line_h = 12  # default PIL bitmap font line height
+    text_height = n_lines * line_h + 2 * padding
+    canvas_height = th + 2 * padding + text_height
+
+    canvas = Image.new("RGB", (canvas_width, canvas_height), (255, 255, 255))
+    for p_idx, panel in enumerate(panels):
+        start_x = padding + p_idx * (tw + padding)
+        canvas.paste(panel, (start_x, padding))
+    draw = ImageDraw.Draw(canvas)
+    draw.multiline_text(
+        (padding, th + 2 * padding), text_str, fill=(0, 0, 0), font=font
+    )
+
+    output_path = out_dir / f"{pair_id}.png"
+    canvas.save(output_path)
+    return output_path
+
+
 def val_visual_for_compare(
     predict_fn,
     params,
@@ -92,51 +140,24 @@ def val_visual_for_compare(
     meta_lookup = manifest_meta_lookup(manifest)
 
     font = ImageFont.load_default()
-    tw, th = target_size
-    n_panels = 5
-    canvas_width = n_panels * tw + (n_panels + 1) * padding
+
+    from cor_tpu.eval.validator import predict_stream
 
     written: List[Path] = []
     sample_idx = 0
-    for batch in loader:
+    for batch, probs in predict_stream(predict_fn, params, loader):
         if max_samples is not None and sample_idx >= max_samples:
             break
-        dev_batch = {k: jnp.asarray(batch[k]) for k in _PRED_KEYS}
-        probs = np.asarray(predict_fn(params, dev_batch))[..., 0]  # [B, H, W]
         for i in range(probs.shape[0]):
             if max_samples is not None and sample_idx >= max_samples:
                 break
             try:
-                pair_id = int(batch["pair_id"][i])
-                meta = meta_lookup(pair_id)
-
-                panels = [
-                    _denorm_to_pil(np.asarray(batch["query_img"][i]), target_size),
-                    _mask_to_pil(np.asarray(batch["query_mask"][i]), target_size, binarize=True),
-                    _mask_to_pil(probs[i], target_size, binarize=True),
-                    _denorm_to_pil(np.asarray(batch["support_img"][i]), target_size),
-                    _mask_to_pil(np.asarray(batch["support_mask"][i]), target_size, binarize=True),
-                ]
-
-                text_str = _sample_text(pair_id, meta)
-                n_lines = text_str.count("\n") + 1
-                line_h = 12  # default PIL bitmap font line height
-                text_height = n_lines * line_h + 2 * padding
-                canvas_height = th + 2 * padding + text_height
-
-                canvas = Image.new("RGB", (canvas_width, canvas_height), (255, 255, 255))
-                for p_idx, panel in enumerate(panels):
-                    start_x = padding + p_idx * (tw + padding)
-                    canvas.paste(panel, (start_x, padding))
-                draw = ImageDraw.Draw(canvas)
-                text_y = th + 2 * padding
-                draw.multiline_text(
-                    (padding, text_y), text_str, fill=(0, 0, 0), font=font
+                written.append(
+                    render_panel(
+                        probs[i], batch, i, meta_lookup, out_dir,
+                        target_size, padding, font,
+                    )
                 )
-
-                output_path = out_dir / f"{pair_id}.png"
-                canvas.save(output_path)
-                written.append(output_path)
             except Exception as e:  # one bad sample must not kill the split
                 log.warning(f"visualize: skipping sample {sample_idx} ({e})")
             sample_idx += 1

@@ -205,7 +205,11 @@ def make_sharded_retrieve(
         Q = all_scores.shape[0]
         all_scores = all_scores.reshape(Q, n_shards * k_local)
         all_idx = all_idx.reshape(Q, n_shards * k_local)
-        merged_scores, merged_pos = jax.lax.top_k(all_scores, k)
+        # clamp: a gallery smaller than k yields fewer merged candidates
+        # than requested (top_k would raise at trace time otherwise)
+        merged_scores, merged_pos = jax.lax.top_k(
+            all_scores, min(k, all_scores.shape[1])
+        )
         merged_idx = jnp.take_along_axis(all_idx, merged_pos, axis=1)
         return merged_scores, merged_idx
 
@@ -293,7 +297,7 @@ def make_sharded_retrieve_decode(
         all_iou = jax.lax.all_gather(iou_qk, DATA_AXIS, axis=1).reshape(Q, -1)
         all_idx = jax.lax.all_gather(global_idx, DATA_AXIS, axis=1).reshape(Q, -1)
         all_iou = jnp.where(jnp.isneginf(all_scores), -jnp.inf, all_iou)
-        merged_iou, pos = jax.lax.top_k(all_iou, k)
+        merged_iou, pos = jax.lax.top_k(all_iou, min(k, all_iou.shape[1]))
         merged_idx = jnp.take_along_axis(all_idx, pos, axis=1)
         merged_scores = jnp.take_along_axis(all_scores, pos, axis=1)
         return merged_scores, merged_iou, merged_idx

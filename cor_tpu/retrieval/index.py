@@ -133,20 +133,28 @@ def build_gallery(
     cfg: CoreConfig,
     params,
     batches: Iterable[Dict[str, np.ndarray]],
-    keep_image_embeddings: bool = False,
-) -> Tuple[np.ndarray, Optional[np.ndarray]]:
-    """Encode gallery candidates batch-by-batch into a [G, D] matrix
-    (+ optional stacked image embeddings for later mask decode)."""
+    with_store: bool = False,
+    store_dtype=np.float16,
+) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
+    """One pass over a triplet loader -> (embeddings [G, D], pair_ids [G],
+    store [G, g, g, C] or None) — THE gallery-encoding loop (the index CLI's
+    build_index is an alias). ``store_dtype`` defaults to fp16: it halves
+    the artifact's disk/IO and the decode path computes in bf16 anyway."""
     encode = make_candidate_encoder(cfg)
-    embs, img_embs = [], []
+    embs, ids, stores = [], [], []
     for b in batches:
-        e, ie = encode(params, jnp.asarray(b["image"]), jnp.asarray(b["mask"]))
+        e, ie = encode(
+            params, jnp.asarray(b["query_img"]), jnp.asarray(b["query_mask"])
+        )
         embs.append(np.asarray(e))
-        if keep_image_embeddings:
-            img_embs.append(np.asarray(ie))
-    gallery = np.concatenate(embs, axis=0)
-    images = np.concatenate(img_embs, axis=0) if keep_image_embeddings else None
-    return gallery, images
+        ids.append(np.asarray(b["pair_id"]))
+        if with_store:
+            stores.append(np.asarray(ie, store_dtype))
+    return (
+        np.concatenate(embs, axis=0),
+        np.concatenate(ids, axis=0),
+        np.concatenate(stores, axis=0) if with_store else None,
+    )
 
 
 # ---------------------------------------------------------------------------

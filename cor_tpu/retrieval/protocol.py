@@ -63,6 +63,26 @@ def encode_manifest(
     )
 
 
+def _scan_recall(mesh, gallery, queries, targets, ks, query_batch) -> Dict[str, float]:
+    """Shared scan half of both protocol entry points: sharded engine scan
+    of (already-encoded) queries against the gallery + Recall@K. Queries are
+    L2-normed by the support branch already; normalize defensively so cosine
+    stays a dot product."""
+    g = gallery.shape[0]
+    k_max = min(max(ks), g)
+    engine = RetrievalEngine(mesh, k=k_max)
+    engine.set_gallery(gallery)
+    queries = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
+    retrieved = []
+    for s in range(0, queries.shape[0], query_batch):
+        _, idx = engine.retrieve(jnp.asarray(queries[s : s + query_batch]))
+        retrieved.append(np.asarray(idx))
+    retrieved = np.concatenate(retrieved, axis=0)  # [Q, k_max]
+    out = recall_at_k(retrieved, targets, ks=[k for k in ks if k <= g])
+    out["gallery_size"] = float(g)
+    return out
+
+
 def evaluate_retrieval(
     cfg: CoreConfig,
     params,
@@ -76,23 +96,9 @@ def evaluate_retrieval(
     Returns {"recall@1": ..., "recall@5": ..., "recall@10": ..., "gallery_size": G}.
     """
     gallery, queries, _ = encode_manifest(cfg, params, loader)
-    g = gallery.shape[0]
-    k_max = min(max(ks), g)
-    engine = RetrievalEngine(mesh, k=k_max)
-    engine.set_gallery(gallery)
-    # queries are L2-normed by the support branch already; normalize
-    # defensively so cosine stays a dot product
-    queries = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
-
-    retrieved = []
-    for s in range(0, g, query_batch):
-        _, idx = engine.retrieve(jnp.asarray(queries[s : s + query_batch]))
-        retrieved.append(np.asarray(idx))
-    retrieved = np.concatenate(retrieved, axis=0)  # [G, k_max]
-    targets = np.arange(g)
-    out = recall_at_k(retrieved, targets, ks=[k for k in ks if k <= g])
-    out["gallery_size"] = float(g)
-    return out
+    return _scan_recall(
+        mesh, gallery, queries, np.arange(gallery.shape[0]), ks, query_batch
+    )
 
 
 def evaluate_retrieval_with_index(
@@ -137,16 +143,4 @@ def evaluate_retrieval_with_index(
     targets = np.asarray([pos[int(p)] for p in qids])
 
     gallery = np.asarray(index["embeddings"], np.float32)
-    g = gallery.shape[0]
-    k_max = min(max(ks), g)
-    engine = RetrievalEngine(mesh, k=k_max)
-    engine.set_gallery(gallery)
-    queries = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
-    retrieved = []
-    for s in range(0, queries.shape[0], query_batch):
-        _, idx = engine.retrieve(jnp.asarray(queries[s : s + query_batch]))
-        retrieved.append(np.asarray(idx))
-    retrieved = np.concatenate(retrieved, axis=0)
-    out = recall_at_k(retrieved, targets, ks=[k for k in ks if k <= g])
-    out["gallery_size"] = float(g)
-    return out
+    return _scan_recall(mesh, gallery, queries, targets, ks, query_batch)

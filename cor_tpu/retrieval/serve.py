@@ -141,9 +141,12 @@ class RetrievalServer:
 
     # -- request handling ----------------------------------------------------
 
-    def handle(self, request: Dict) -> Dict:
+    def handle(self, request: Dict, save_masks: bool = True) -> Dict:
         """One request -> one response dict. Raises on malformed requests;
-        the CLI loop converts that into an error response."""
+        the CLI loop converts that into an error response. ``save_masks``
+        is the out-of-band warmup switch (decode compiles/executes, nothing
+        is written) — NOT an in-band magic id, which an untrusted client
+        could collide with."""
         import jax.numpy as jnp
 
         if "synthetic" in request:
@@ -170,7 +173,7 @@ class RetrievalServer:
         }
         if self._decode is not None or self._decode_hbm is not None:
             resp["masks"] = self._decode_masks(
-                request.get("id"), idx, q, save=request.get("id") != "warmup"
+                request.get("id"), idx, q, save=save_masks
             )
         return resp
 
@@ -214,8 +217,7 @@ class RetrievalServer:
     def warmup(self) -> None:
         """Compile every jitted callable on a synthetic request so the first
         real request pays no compile latency."""
-        req = {"id": "warmup", "synthetic": 0}
-        self.handle(req)
+        self.handle({"id": "warmup", "synthetic": 0}, save_masks=False)
         log.info("RetrievalServer warm: gallery=%d k=%d decode=%s",
                  len(self.pair_ids), self.k,
                  "hbm-int8" if self._decode_hbm is not None

@@ -446,3 +446,51 @@ def convert_core_checkpoint(
         },
         "mask_decoder": convert_sam_decoder(sd),
     }
+
+
+def load_trained_params(
+    load_checkpoint_path,
+    core_cfg,
+    params: Params,
+    logger,
+    mask_pooling: str = "MaskAdapterPooling",
+) -> Params:
+    """Restore trained CORE weights over ``params`` — the ONE loading path
+    shared by every inference-side CLI (eval / retrieve / index / serve), so
+    a trained checkpoint is never silently ignored.
+
+    Two dialects:
+    - torch ``.pth/.pt/.bin``: the reference's trained CORE checkpoint,
+      incl. DDP 'module.' prefixes + missing/unexpected/mismatch audit
+      (reference: my_test.py:117-185)
+    - anything else: an Orbax training checkpoint directory — params-only
+      (best_model) or a FULL training state (checkpoint_epoch_N /
+      best_model_full / interrupted_*); restored raw (no template) and the
+      'params' subtree taken, so every trainer-written layout loads
+    """
+    from pathlib import Path
+
+    ckpt = Path(str(load_checkpoint_path))
+    if ckpt.suffix in (".pth", ".pt", ".bin"):
+        sd = load_torch_state_dict(str(ckpt))
+        sig = core_cfg.support.siglip
+        loaded = convert_core_checkpoint(
+            sd,
+            encoder_depth=core_cfg.encoder.depth,
+            siglip_vision_depth=sig.vision.depth,
+            siglip_text_depth=sig.text.depth,
+            mask_pooling=mask_pooling,
+        )
+        audit = audit_params(params, loaded)
+        for kind, keys in audit.items():
+            if keys:
+                logger.info(f"[ckpt audit] {kind} ({len(keys)}): {keys[:10]}")
+        logger.info(f"Loaded torch CORE checkpoint: {ckpt}")
+        return loaded
+    from cor_tpu.train.checkpoint import restore_checkpoint
+
+    restored = restore_checkpoint(ckpt.parent, ckpt.name)
+    if isinstance(restored, dict) and "params" in restored:
+        restored = restored["params"]
+    logger.info(f"Loaded Orbax checkpoint: {ckpt}")
+    return restored

@@ -268,22 +268,27 @@ def export_core_state_dict(params: Params) -> StateDict:
 
 def save_core_checkpoint(
     path: str,
-    params: Params,
+    params: Optional[Params] = None,
     epoch: int = 0,
     loss: Optional[float] = None,
     optimizer_state_dict: Optional[Mapping[str, Any]] = None,
+    state_dict: Optional[StateDict] = None,
 ) -> None:
     """Write the reference trainer's checkpoint dict format
     (reference: utils/trainer_v3_g.py:133-142 — keys epoch /
     model_state_dict / optimizer_state_dict / loss), loadable by the
-    reference eval entry (my_test.py:117-124)."""
+    reference eval entry (my_test.py:117-124). Pass ``state_dict`` if it is
+    already built (export_core_state_dict copies every param into fp32
+    numpy — building it twice doubles peak host memory on sam_huge)."""
     import torch
 
+    if state_dict is None:
+        state_dict = export_core_state_dict(params)
     torch.save(
         {
             "epoch": int(epoch),
             "model_state_dict": {
-                k: torch.from_numpy(v) for k, v in export_core_state_dict(params).items()
+                k: torch.from_numpy(v) for k, v in state_dict.items()
             },
             "optimizer_state_dict": dict(optimizer_state_dict) if optimizer_state_dict else {},
             "loss": float(loss) if loss is not None else None,

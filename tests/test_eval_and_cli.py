@@ -251,3 +251,40 @@ def test_val_visual_skips_bad_sample(tmp_path, tiny_predict):
 
     written = val_visual_for_compare(predict, params, BadIdLoader(), tmp_path)
     assert len(written) == 1
+
+
+def test_load_trained_params_accepts_full_training_checkpoints(tmp_path):
+    """The shared inference-CLI loader must restore params from ANY
+    trainer-written Orbax layout — params-only (best_model) AND full
+    training state (checkpoint_epoch_N: params + opt_state + step + epoch +
+    best tracker) — a params-only template rejects the full layouts."""
+    import logging
+
+    import numpy as np
+    import optax
+
+    from cor_tpu.train.checkpoint import save_checkpoint
+    from cor_tpu.utils.convert import load_trained_params
+    from tests.helpers import tiny_core_config
+
+    cfg = tiny_core_config()
+    logger = logging.getLogger("load-test")
+    params = {"a": np.arange(6, dtype=np.float32).reshape(2, 3)}
+    tx = optax.adamw(1e-3)
+    save_checkpoint(
+        tmp_path, "checkpoint_epoch_4",
+        {
+            "params": params,
+            "opt_state": tx.init(params),
+            "step": np.int32(40),
+            "epoch": np.int32(4),
+            "best_score": np.float32(0.7),
+            "best_epoch": np.int32(3),
+            "loss": np.float32(0.1),
+        },
+    )
+    save_checkpoint(tmp_path, "best_model", {"params": params})
+
+    for name in ("checkpoint_epoch_4", "best_model"):
+        loaded = load_trained_params(tmp_path / name, cfg, params, logger)
+        np.testing.assert_array_equal(np.asarray(loaded["a"]), params["a"])
