@@ -111,6 +111,16 @@ def convnext_block(
 
 
 def init_mask_adapter_pooling(key: jax.Array, cfg: MaskAdapterConfig) -> Params:
+    if cfg.drop_path_rate > 0.0:
+        # the reference NEVER enables stochastic depth in this module
+        # (ConvNextBlock(dim) keeps the 0.0 default, mask_adapter.py:118-124
+        # vs :194), so the adapter's ConvNeXt calls are not wired for it —
+        # fail loudly rather than silently training without the regularizer
+        raise ValueError(
+            "MaskAdapterConfig.drop_path_rate > 0 is not wired into the "
+            "adapter's ConvNeXt blocks (the reference never enables it); "
+            "set it to 0.0"
+        )
     keys = jax.random.split(key, 10)
     mdc = cfg.mask_downscaling_mid_channel
     return {
@@ -164,6 +174,13 @@ def mask_adapter_pooling(
 ) -> jax.Array:
     """features [B, H, W, C], mask [B, h, w, 1] -> pooled [B, 1, C]."""
     B, H, W, C = features.shape
+    # NOTE: the mask is resized DOWN to the 27x27 feature grid here and then
+    # _generate_mask_adapter_map immediately resizes it back UP 4x — that
+    # detail-destroying double resize is EXACT reference behavior
+    # (MaskAdapterPooling.forward interpolates the mask to
+    # clip_feature.shape[-2:] BEFORE GenerateMaskAdapterMap,
+    # mask_adapter.py:57-58 then :152-158) and is required for parity; do
+    # not "optimize" it to a single resize.
     mask = resize_bilinear(mask, (H, W)).astype(features.dtype)
 
     cr = p["channel_reduction"]

@@ -230,7 +230,6 @@ def two_way_transformer(
     # (requires store_idx — 4x less store HBM, dequant inside the kernel)
 ) -> Tuple[jax.Array, jax.Array]:
     S, H, W, C = image_embedding.shape
-    B = point_embedding.shape[0] if store_idx is not None else S
     if store_scale is not None:
         assert store_idx is not None, "int8 stores require store-indexed decode"
     comp_dt = point_embedding.dtype if store_scale is not None else image_embedding.dtype

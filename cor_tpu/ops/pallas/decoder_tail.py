@@ -141,6 +141,11 @@ def fused_decoder_tail(
     tile = 2048
     while tile > 8 and n_rows % tile != 0:
         tile //= 2
+    assert n_rows % tile == 0, (
+        f"decoder_tail: {n_rows} rows have no power-of-two tile divisor >= 8 "
+        "— the grid would silently skip the remainder pixels; use "
+        "fused=False for this geometry"
+    )
 
     raw = pl.pallas_call(
         functools.partial(_kernel, eps=eps),

@@ -13,11 +13,13 @@ reshapes, so the per-head structure is encoded as block-diagonal operand
 matrices built in XLA (tiny, per sample):
 
     Kblk[(h,d), (h,t)] = k_tok[t,h,d]     logits  = q_img @ Kblk
-    G[(h,t), (h,t')]  = 1                 denom   = exp(l - rowmax) @ G
+    G[(h,t), (h,t')]  = 1                 denom   = exp(l - shift) @ G
     Vblk[(h,t), (h,d)] = v_tok[t,h,d]     attnout = (e/denom) @ Vblk
 
-Row-max stabilization over all head groups is softmax-invariant, so the
-result is exactly the per-head softmax. Forward-only (inference paths).
+The stabilizing shift is the PER-HEAD mean (one GEMM against G): any
+uniform per-head shift is softmax-invariant, and unlike a global row max
+it cannot underflow an entire low-logit head's exponentials to 0 (whose
+normalizer would then be 0/0 = NaN). Forward-only (inference paths).
 """
 
 from __future__ import annotations
@@ -37,9 +39,18 @@ def _kernel(q_ref, keys_ref, kblk_ref, g_ref, vblk_ref, wo_ref, bo_ref, s_ref, b
     keys = keys_ref[0]  # [T, C]
 
     l = jnp.dot(q, kblk_ref[0], preferred_element_type=jnp.float32) * scale  # [T, HT]
-    m = jnp.max(l, axis=-1, keepdims=True)
+    # PER-HEAD shift (the reference softmax is per-head): a GLOBAL max would
+    # underflow e to 0 across an entire head whose logits sit ~88+ below
+    # another head's max, zeroing its normalizer d -> NaN. Same mean-shift
+    # trick as two_way_layer.py: softmax is invariant to any uniform
+    # per-head shift, the per-head MEAN is one GEMM against the group-sum
+    # matrix g (every column group has exactly T real columns here), and
+    # d >= exp(max - mean) >= 1 can never underflow.
+    g32 = g_ref[:].astype(jnp.float32)
+    n_tok = jnp.float32(1.0) / jnp.sum(g32[:, 0])  # 1/T via g's column sum
+    m = jnp.dot(l, g32, preferred_element_type=jnp.float32) * n_tok
     e = jnp.exp(l - m)
-    d = jnp.dot(e, g_ref[:].astype(jnp.float32), preferred_element_type=jnp.float32)
+    d = jnp.dot(e, g32, preferred_element_type=jnp.float32)
     a = (e / d).astype(q.dtype)  # [T, HT]
     o = jnp.dot(a, vblk_ref[0], preferred_element_type=jnp.float32).astype(q.dtype)  # [T, I]
     o2 = jnp.dot(o, wo_ref[:], preferred_element_type=jnp.float32)  # [T, C]
@@ -85,6 +96,11 @@ def i2t_attention_fused(
     tile = 2048
     while tile > 8 and N % tile != 0:
         tile //= 2
+    assert N % tile == 0, (
+        f"i2t_attention: {N} rows have no power-of-two tile divisor >= 8 — "
+        "the grid would silently drop the remainder rows; use fused=False "
+        "for this geometry"
+    )
 
     out = pl.pallas_call(
         functools.partial(_kernel, scale=1.0 / (head_dim**0.5), eps=eps),

@@ -21,9 +21,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from cor_tpu.ops.pallas.upscale import _interpret
 
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
+
 
 
 def _ln_block(x, scale, bias, eps):

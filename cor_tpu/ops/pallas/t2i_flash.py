@@ -133,6 +133,11 @@ def _tile(n: int) -> int:
     tile = 2048
     while tile > 8 and n % tile != 0:
         tile //= 2
+    assert n % tile == 0, (
+        f"t2i_flash: {n} rows have no power-of-two tile divisor >= 8 — the "
+        "grid would silently drop the remainder rows; use fused=False for "
+        "this geometry"
+    )
     return tile
 
 

@@ -55,12 +55,6 @@ def _gelu_exact(x: jax.Array) -> jax.Array:
 from cor_tpu.ops.common import gelu_poly as _gelu_fast  # noqa: E402
 
 
-def _gelu(x: jax.Array) -> jax.Array:
-    """Exact erf GELU for fp32 (oracle-tested paths); fast polynomial for
-    bf16 (production decode — error below bf16 rounding)."""
-    return _gelu_fast(x) if x.dtype == jnp.bfloat16 else _gelu_exact(x)
-
-
 def _kernel(x_ref, w_ref, b_ref, h_ref, o_ref):
     # x_ref: [1, TH, W, C]; w_ref: [C, 4*O]; b_ref: [4*O];
     # h_ref: [1, 4*O, 4*N] block-diagonal hyper weights; o_ref: [1, TH, W, 4*N]

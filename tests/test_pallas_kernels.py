@@ -71,3 +71,36 @@ def test_mask_decoder_fused_matches_unfused(key, rng):
         m1, i1, _ = mask_decoder(params, emb, pe, sparse, dense_e, TINY_DECODER, mm, fused=True)
         np.testing.assert_allclose(np.asarray(m0), np.asarray(m1), atol=1e-4, rtol=1e-4)
         np.testing.assert_allclose(np.asarray(i0), np.asarray(i1), atol=1e-5)
+
+
+def test_i2t_attention_fused_per_head_softmax_stability(rng):
+    """The i2t kernel's softmax shift must be PER-HEAD: with one head's
+    logits sitting hundreds below another head's max, a global-max shift
+    underflows that whole head's exponentials to 0 (normalizer 0 -> NaN).
+    The per-head mean shift must stay exact vs a per-head XLA softmax."""
+    import jax.numpy as jnp
+
+    from cor_tpu.ops.pallas.i2t_attention import i2t_attention_fused
+
+    B, N, I, C, T, H = 1, 16, 16, 32, 6, 2
+    hd = I // H
+    q = rng.standard_normal((B, N, I)).astype(np.float32)
+    # bias head 0's keys by +300/sqrt(hd): its logits sit ~hundreds above
+    # head 1's, the exact cross-head spread that NaN'd a global-max shift
+    k = rng.standard_normal((B, T, I)).astype(np.float32)
+    k[:, :, :hd] += 300.0
+    v = rng.standard_normal((B, T, I)).astype(np.float32)
+    w_out = rng.standard_normal((I, C)).astype(np.float32) * 0.1
+    b_out = rng.standard_normal((C,)).astype(np.float32) * 0.1
+    s = np.ones((C,), np.float32)
+    b = np.zeros((C,), np.float32)
+
+    out = np.asarray(
+        i2t_attention_fused(
+            jnp.asarray(q), jnp.asarray(rng.standard_normal((B, N, C)).astype(np.float32)),
+            jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(w_out), jnp.asarray(b_out), jnp.asarray(s), jnp.asarray(b),
+            num_heads=H,
+        )
+    )
+    assert np.isfinite(out).all(), "per-head softmax underflowed to NaN"
