@@ -340,3 +340,37 @@ def test_loader_set_epoch_pins_shuffle_order():
     resumed = DataLoader(ds, 4, shuffle=True, num_workers=1, seed=9)
     resumed.set_epoch(3)
     assert order_of(resumed) == epochs[3]
+
+
+def test_device_batch_pads_to_data_times_accum(tmp_path):
+    """With grad_accum each scan microbatch must ITSELF shard over the data
+    axis: batch 10 on an 8-mesh with accum=4 pads to 32 (4 microbatches of
+    8), not lcm(8,4)=16 (which would give 4-row microbatches on an 8-way
+    axis). Padded rows carry valid=0."""
+    import optax
+
+    from cor_tpu.train.step import create_train_state
+
+    cfg = TrainConfig(
+        batch_size=10, grad_accum=4, compute_dtype="float32",
+        train_model_save_path=str(tmp_path),
+    )
+    core_cfg = tiny_core_config()
+    params = init_core_model(jax.random.PRNGKey(0), core_cfg)
+    tx, sched = make_optimizer(params, cfg.optimizer, cfg.lr, cfg.lr_scheduler, cfg.epoch)
+    trainer = Trainer(cfg, create_train_state(params, tx), tx, sched, logging.getLogger("t"))
+
+    batch = {
+        k: np.zeros((10,) + s, np.float32)
+        for k, s in (
+            ("query_img", (64, 64, 3)), ("query_mask", (64, 64, 1)),
+            ("support_img", (32, 32, 3)), ("support_mask", (32, 32, 1)),
+        )
+    }
+    batch["text"] = np.zeros((10, 8), np.int32)
+    out = trainer._device_batch(batch)
+    n_data = trainer.mesh.shape["data"]
+    assert out["query_img"].shape[0] == 4 * n_data  # 32 on the 8-mesh
+    assert (out["query_img"].shape[0] // 4) % n_data == 0
+    np.testing.assert_array_equal(out["valid"][:10], 1.0)
+    np.testing.assert_array_equal(out["valid"][10:], 0.0)
