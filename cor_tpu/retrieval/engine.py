@@ -229,6 +229,8 @@ def make_sharded_retrieve_decode(
     decoder_cfg,
     k: int,
     quantized: bool = False,
+    approx: bool = False,
+    recall_target: float = 0.99,
     chunk: int = 128,
 ):
     """Sharded scan + LOCAL store-indexed mask decode + IoU-informed merge.
@@ -265,7 +267,12 @@ def make_sharded_retrieve_decode(
             s = cosine_scores(queries, gallery_shard)  # [Q, G/n]
         s = jnp.where(index_shard[None, :] < 0, -jnp.inf, s)
         k_local = min(k, gallery_shard.shape[0])
-        scores, local_idx = jax.lax.top_k(s, k_local)  # [Q, k_local]
+        if approx:
+            scores, local_idx = jax.lax.approx_max_k(
+                s, k_local, recall_target=recall_target
+            )
+        else:
+            scores, local_idx = jax.lax.top_k(s, k_local)  # [Q, k_local]
 
         Q, D = queries.shape
         B = Q * k_local
@@ -369,6 +376,7 @@ class RetrievalEngine:
         self.mesh = mesh
         self.k = k
         self.quantize = quantize
+        self.approx = approx
         self._retrieve = make_sharded_retrieve(
             mesh, k, approx, recall_target, quantized=quantize
         )
@@ -403,7 +411,8 @@ class RetrievalEngine:
         self.store_q = jax.device_put(jnp.asarray(q), sharding)
         self.store_scales = jax.device_put(jnp.asarray(scales), sharding)
         self._retrieve_decode = make_sharded_retrieve_decode(
-            self.mesh, decoder_cfg, self.k, quantized=self.quantize
+            self.mesh, decoder_cfg, self.k,
+            quantized=self.quantize, approx=self.approx,
         )
 
     def retrieve_decode(self, query_embeddings, dec_params, image_pe):
