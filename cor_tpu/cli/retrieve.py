@@ -37,6 +37,13 @@ def main(argv=None):
     )
     parser.add_argument("--batch-size", type=int, default=0, help="override config batch size")
     parser.add_argument(
+        "--rerank", action="store_true",
+        help="decode-reranked protocol: each chip mask-decodes its local "
+             "top-k from a mesh-sharded int8 store of the candidates' SAM "
+             "embeddings; the merge ranks by predicted mask IoU "
+             "(k candidates decoded per query per chip)",
+    )
+    parser.add_argument(
         "--gallery-index",
         default=None,
         metavar="DIR",
@@ -136,11 +143,18 @@ def main(argv=None):
     if args.gallery_index:
         from cor_tpu.retrieval.index import load_gallery_index
 
+        if args.rerank:
+            raise SystemExit(
+                "--rerank runs on a live-encoded gallery (it needs the SAM "
+                "image embeddings); drop --gallery-index"
+            )
         result = evaluate_retrieval_with_index(
             core_cfg, params, loader, mesh, load_gallery_index(args.gallery_index), ks=ks
         )
     else:
-        result = evaluate_retrieval(core_cfg, params, loader, mesh, ks=ks)
+        result = evaluate_retrieval(
+            core_cfg, params, loader, mesh, ks=ks, rerank=args.rerank
+        )
 
     if args.dump_top1:
         from cor_tpu.retrieval.engine import RetrievalEngine

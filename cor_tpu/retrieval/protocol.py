@@ -37,16 +37,21 @@ def encode_manifest(
     cfg: CoreConfig,
     params,
     batches: Iterable[Dict[str, np.ndarray]],
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    keep_store: bool = False,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, Optional[np.ndarray]]:
     """One pass over the triplet loader -> (gallery [G, D], queries [G, D],
-    pair_ids [G]). Row i of both matrices comes from triplet i."""
+    pair_ids [G], store [G, g, g, C] fp16 or None). Row i of every output
+    comes from triplet i; ``keep_store`` also stacks the SAM image
+    embeddings (for decode-reranked retrieval)."""
     encode_cand = make_candidate_encoder(cfg)
     encode_query = make_query_encoder(cfg)
-    gallery, queries, ids = [], [], []
+    gallery, queries, ids, stores = [], [], [], []
     for b in batches:
-        emb, _ = encode_cand(
+        emb, ie = encode_cand(
             params, jnp.asarray(b["query_img"]), jnp.asarray(b["query_mask"])
         )
+        if keep_store:
+            stores.append(np.asarray(ie, np.float16))
         q = encode_query(
             params,
             jnp.asarray(b["support_img"]),
@@ -60,6 +65,7 @@ def encode_manifest(
         np.concatenate(gallery, axis=0),
         np.concatenate(queries, axis=0),
         np.concatenate(ids, axis=0),
+        np.concatenate(stores, axis=0) if keep_store else None,
     )
 
 
@@ -90,15 +96,49 @@ def evaluate_retrieval(
     mesh,
     ks: Tuple[int, ...] = (1, 5, 10),
     query_batch: int = 256,
+    rerank: bool = False,
 ) -> Dict[str, float]:
     """Full protocol: encode, sharded gallery scan, Recall@K.
 
+    ``rerank=True`` additionally mask-decodes each shard's local top-k
+    candidates straight from a mesh-sharded int8 store of their SAM image
+    embeddings and ranks the merged pool by predicted mask IoU
+    (engine.make_sharded_retrieve_decode) — the decoder-informed variant of
+    the protocol; max(ks) candidates are decoded per query per chip.
+
     Returns {"recall@1": ..., "recall@5": ..., "recall@10": ..., "gallery_size": G}.
     """
-    gallery, queries, _ = encode_manifest(cfg, params, loader)
-    return _scan_recall(
-        mesh, gallery, queries, np.arange(gallery.shape[0]), ks, query_batch
+    gallery, queries, _, store = encode_manifest(
+        cfg, params, loader, keep_store=rerank
     )
+    g = gallery.shape[0]
+    targets = np.arange(g)
+    if not rerank:
+        return _scan_recall(mesh, gallery, queries, targets, ks, query_batch)
+
+    from cor_tpu.models.core_model import _cast
+    from cor_tpu.models.prompt_encoder import get_dense_pe
+
+    k_max = min(max(ks), g)
+    engine = RetrievalEngine(mesh, k=k_max)
+    engine.set_gallery(gallery)
+    engine.enable_store_decode(
+        cfg.decoder, store,
+        no_mask_embed=np.asarray(params["prompt_encoder"]["no_mask_embed"][0]),
+    )
+    dec_params = _cast(params["mask_decoder"], cfg.dtype)
+    image_pe = get_dense_pe(_cast(params["prompt_encoder"], cfg.dtype), cfg.prompt).astype(cfg.dtype)
+    queries = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
+    retrieved = []
+    for s in range(0, queries.shape[0], query_batch):
+        _, _, idx = engine.retrieve_decode(
+            jnp.asarray(queries[s : s + query_batch]), dec_params, image_pe
+        )
+        retrieved.append(np.asarray(idx))
+    retrieved = np.concatenate(retrieved, axis=0)
+    out = recall_at_k(retrieved, targets, ks=[k for k in ks if k <= g])
+    out["gallery_size"] = float(g)
+    return out
 
 
 def evaluate_retrieval_with_index(

@@ -124,7 +124,7 @@ def test_retrieval_protocol_end_to_end(key):
         context_length=8, vocab_size=64, seed=5,
     )
 
-    gallery, queries, ids = encode_manifest(cfg, params, DataLoader(ds, batch_size=4))
+    gallery, queries, ids, _ = encode_manifest(cfg, params, DataLoader(ds, batch_size=4))
     assert gallery.shape == (10, 16) and queries.shape == (10, 16)
     np.testing.assert_array_equal(ids, np.arange(10))
 
@@ -143,6 +143,29 @@ def test_retrieval_protocol_end_to_end(key):
     scores, _ = engine.retrieve(jnp.asarray(gallery))
     self_scores = np.einsum("gd,gd->g", gallery, gallery)
     assert (np.asarray(scores)[:, 0] >= self_scores - 1e-5).all()
+
+
+def test_retrieval_protocol_rerank(key):
+    """evaluate_retrieval(rerank=True): the decode-reranked protocol runs
+    end-to-end on the 8-device mesh — each shard decodes its local top-k
+    from the sharded int8 store and the merge ranks by IoU. At K = G every
+    candidate is decoded, so recall@G must be 1.0 regardless of ranking."""
+    from cor_tpu.data.pipeline import DataLoader, SyntheticDataset
+    from cor_tpu.retrieval.protocol import evaluate_retrieval
+
+    cfg = tiny_core_config()
+    params = init_core_model(key, cfg)
+    mesh = make_mesh()
+    ds = SyntheticDataset(
+        length=10, query_img_size=64, support_img_size=32,
+        context_length=8, vocab_size=64, seed=5,
+    )
+    r = evaluate_retrieval(
+        cfg, params, DataLoader(ds, batch_size=5), mesh, ks=(1, 5, 10), rerank=True
+    )
+    assert set(r) == {"recall@1", "recall@5", "recall@10", "gallery_size"}
+    assert r["gallery_size"] == 10.0
+    assert r["recall@1"] <= r["recall@5"] <= r["recall@10"] == 1.0
 
 
 def test_sharded_retrieve_approx_mode(rng):
