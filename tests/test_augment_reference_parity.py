@@ -40,9 +40,26 @@ class ScriptedRng:
         self._rands = list(randoms)
 
     def integers(self, low, high=None, size=None):
+        # the scripted value must lie inside the CALLER's requested bounds:
+        # this is what actually pins the inclusive/exclusive-bound semantics
+        # the module docstring claims — e.g. an augment op calling
+        # integers(5, 20) where the reference needs randint(5, 20) inclusive
+        # (i.e. our exclusive high must be 21) fails here when the script
+        # replays the reference's boundary draw of 20
+        lo, hi = (0, low) if high is None else (low, high)
+
+        def pop():
+            v = self._ints.pop(0)
+            assert lo <= v < hi, (
+                f"scripted draw {v} outside the augment op's requested "
+                f"[{lo}, {hi}) — its bounds diverge from the reference "
+                "semantics this script encodes"
+            )
+            return v
+
         if size is None:
-            return self._ints.pop(0)
-        return np.array([self._ints.pop(0) for _ in range(int(size))])
+            return pop()
+        return np.array([pop() for _ in range(int(size))])
 
     def random(self):
         return self._rands.pop(0)

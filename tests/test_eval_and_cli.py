@@ -47,7 +47,9 @@ def test_save_hard_and_soft_masks(tmp_path, tiny_predict):
     soft = save_soft_pred_masks(predict, params, _tiny_loader(), tmp_path)
     simg = np.asarray(Image.open(soft[0]))
     assert simg.shape == (48, 80)
-    assert simg.max() <= 255
+    # actually SOFT: grayscale values between 0 and 255 must survive (a
+    # regression to the binarize path would leave only {0, 255})
+    assert len(set(np.unique(simg)) - {0, 255}) > 0
 
 
 def test_val_metric_csv(tmp_path, tiny_predict):

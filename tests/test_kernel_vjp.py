@@ -223,5 +223,9 @@ def test_siglip_tower_grad_with_kernels(key, rng):
     g = jax.grad(loss)(p)
     flat, _ = jax.tree_util.tree_flatten(g)
     assert all(bool(jnp.all(jnp.isfinite(leaf))) for leaf in flat)
-    # at least one attention-qkv leaf receives a non-zero gradient
-    assert any(float(jnp.abs(leaf).max()) > 0 for leaf in flat)
+    # the ATTENTION-qkv leaves specifically must receive non-zero gradients
+    # (any-leaf-nonzero would pass even with a broken attention custom_vjp,
+    # via the patch-embed / pooling-head leaves)
+    for blk in g["blocks"]:
+        qkv_leaves = jax.tree_util.tree_leaves(blk["attn"])
+        assert any(float(jnp.abs(l).max()) > 0 for l in qkv_leaves)

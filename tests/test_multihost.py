@@ -50,8 +50,15 @@ def test_two_process_global_batch_and_loss(tmp_path):
         )
         for i in range(2)
     ]
-    for p in procs:
-        assert p.wait(timeout=600) == 0
+    try:
+        for p in procs:
+            assert p.wait(timeout=600) == 0
+    finally:
+        # a crashed/hung worker must not leave its sibling blocked in the
+        # jax.distributed barrier holding the port (poisons later runs)
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     res = [json.loads(o.read_text()) for o in outs]
 
     # 1. disjoint shards covering 16 distinct samples

@@ -14,13 +14,11 @@ from cor_tpu.utils.observability import (
     _varint,
 )
 
-tf = pytest.importorskip("tensorflow")
-
-
 def _read_events(path):
     """Decode one event file with tensorflow as the oracle — the TFRecord
     iterator validates the masked CRC32C framing, and event_pb2 validates
     the hand-rolled proto encoding."""
+    import tensorflow as tf
     from tensorflow.core.util import event_pb2
 
     return [
@@ -30,6 +28,7 @@ def _read_events(path):
 
 
 def test_native_event_writer_tf_readable(tmp_path):
+    pytest.importorskip("tensorflow")  # only THIS test needs the tf oracle
     w = _NativeEventWriter(tmp_path)
     w.add_scalar("Train/LocalTotalLoss", 1.5, 3)
     w.add_scalar("Val/GlobalDice", 0.25, 7)
@@ -84,6 +83,11 @@ def test_varint_and_crc_primitives():
     # the unmasked->masked transform on a known vector: crc32c(b"123456789")
     # = 0xE3069283 -> masked 0xD2160A16... recompute via the same table to
     # guard accidental edits to the constants.
+    # known vector: crc32c(b"123456789") = 0xE3069283; the TFRecord mask
+    # ((crc >> 15 | crc << 17) + 0xa282ead8) gives 0xC78AB0E5 — pinning the
+    # exact value guards the table/constants even on tf-less hosts (where
+    # the native writer is the ONLY event writer)
+    assert _masked_crc32c(b"123456789") == 0xC78AB0E5
     hdr = struct.pack("<Q", 13)
     assert 0 <= _masked_crc32c(hdr) < 2**32
     ev = _scalar_event(1.0, 2, "t", 3.0)

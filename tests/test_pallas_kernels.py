@@ -95,12 +95,25 @@ def test_i2t_attention_fused_per_head_softmax_stability(rng):
     s = np.ones((C,), np.float32)
     b = np.zeros((C,), np.float32)
 
+    keys = rng.standard_normal((B, N, C)).astype(np.float32)
     out = np.asarray(
         i2t_attention_fused(
-            jnp.asarray(q), jnp.asarray(rng.standard_normal((B, N, C)).astype(np.float32)),
+            jnp.asarray(q), jnp.asarray(keys),
             jnp.asarray(k), jnp.asarray(v),
             jnp.asarray(w_out), jnp.asarray(b_out), jnp.asarray(s), jnp.asarray(b),
             num_heads=H,
         )
     )
     assert np.isfinite(out).all(), "per-head softmax underflowed to NaN"
+
+    # exactness vs the unfused per-head XLA oracle on the SAME biased inputs
+    from cor_tpu.ops.attention import attention_heads
+    from cor_tpu.ops.common import layer_norm
+
+    ref_attn = attention_heads(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), H)
+    ref = layer_norm(
+        {"scale": jnp.asarray(s), "bias": jnp.asarray(b)},
+        jnp.asarray(keys) + ref_attn @ jnp.asarray(w_out) + jnp.asarray(b_out),
+        eps=1e-5,
+    )
+    np.testing.assert_allclose(out, np.asarray(ref), atol=2e-4, rtol=2e-4)

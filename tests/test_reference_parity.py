@@ -294,7 +294,7 @@ class _StubSigLIP(torch.nn.Module):
         return self.image_feat, self.text_feat, None, self.grid
 
 
-def _build_composite(monkeypatch, multimask: bool):
+def _build_composite(monkeypatch):
     """Shared setup: reference CirSegModelWithQuerySupportFeat (SigLIP
     stubbed) + the converted cor_tpu params/config + monkeypatched
     siglip_encode emitting the same fixed tensors. Returns
@@ -413,9 +413,7 @@ def test_composite_core_parity(monkeypatch, multimask):
     """Full CirSegModelWithQuerySupportFeat vs core_forward, weights converted
     from the torch state dict; the SigLIP towers are replaced by the same
     fixed tensors on both sides (reference: sam_with_sup_branch.py:57-104)."""
-    ref, sd, (B, D, G, image_feat, text_feat, grid_nchw), rng = _build_composite(
-        monkeypatch, multimask
-    )
+    ref, sd, (B, D, G, image_feat, text_feat, grid_nchw), rng = _build_composite(monkeypatch)
     cfg, params = _composite_cfg_and_params(
         sd, multimask, D, image_feat, text_feat, grid_nchw, monkeypatch
     )
@@ -471,9 +469,7 @@ def test_training_gradient_parity(monkeypatch):
     from cor_tpu.models.core_model import core_forward
     from cor_tpu.train.losses import core_total_loss
 
-    ref, sd, (B, D, G, image_feat, text_feat, grid_nchw), rng = _build_composite(
-        monkeypatch, multimask=False
-    )
+    ref, sd, (B, D, G, image_feat, text_feat, grid_nchw), rng = _build_composite(monkeypatch)
     cfg, params = _composite_cfg_and_params(
         sd, False, D, image_feat, text_feat, grid_nchw, monkeypatch
     )
@@ -604,9 +600,7 @@ def test_training_trajectory_parity(monkeypatch, tmp_path):
     import cor_tpu.models.support_branch as cor_sb_mod
 
     LR, EPOCHS, STEPS = 1e-3, 2, 3
-    ref, sd, (B, D, G, image_feat, text_feat, grid_nchw), rng = _build_composite(
-        monkeypatch, multimask=False
-    )
+    ref, sd, (B, D, G, image_feat, text_feat, grid_nchw), rng = _build_composite(monkeypatch)
     # sd_np's fp32 .numpy() views ALIAS the live torch parameters — snapshot
     # the initial state dict before training mutates it in place
     sd = {k: v.copy() for k, v in sd.items()}

@@ -21,10 +21,6 @@ from cor_tpu.train.trainer import Trainer
 from tests.helpers import tiny_core_config
 
 
-class TinyTrainConfig(TrainConfig):
-    pass
-
-
 @pytest.fixture
 def tiny_synth_loaders():
     train_ds = SyntheticDataset(

@@ -36,7 +36,7 @@ def test_sharded_opt_state_matches_replicated(key, rng):
         l.sharding.spec for l in jax.tree.leaves(sharded_opt)
         if hasattr(l, "sharding") and np.ndim(l) >= 1
     ]
-    assert any(DATA_AXIS in (s[0] if len(s) else (),) or (len(s) and s[0] == DATA_AXIS) for s in specs)
+    assert any(len(s) and s[0] == DATA_AXIS for s in specs)
     s_sh = TrainState(s_sh.params, sharded_opt, s_sh.step)
     batch2 = shard_batch(
         mesh,
