@@ -58,6 +58,12 @@ STACK_FUSED = False
 # the stack kernel's HBM contract (keys once in / once out) with the
 # per-layer kernel's per-step body — A/B-able via tools/decode_bench.py
 GRID_FUSED = False
+# manual double-buffered keys DMA in the per-layer kernel
+# (two_way_layer.two_way_layer_dma): keys live in HBM and the kernel itself
+# prefetches group i+1 / drains group i-1 around group i's body, probing the
+# measured DMA+compute SERIALIZATION of the auto-pipelined kernel —
+# A/B-able via tools/decode_bench.py --variant dma
+DMA_FUSED = False
 
 
 @dataclass(frozen=True)
@@ -296,11 +302,15 @@ def two_way_transformer(
 
     for i, lp in enumerate(p["layers"]):
         if layer_fused:
-            from cor_tpu.ops.pallas.two_way_layer import two_way_layer_fused
+            from cor_tpu.ops.pallas.two_way_layer import (
+                two_way_layer_dma,
+                two_way_layer_fused,
+            )
 
             kpe_l = _matmul_nobias(lp["cross_attn_t2i"]["k_proj"], key_pe)[0]
             qpe_l = _matmul_nobias(lp["cross_attn_i2t"]["q_proj"], key_pe)[0]
-            queries, keys = two_way_layer_fused(
+            layer_fn = two_way_layer_dma if DMA_FUSED else two_way_layer_fused
+            queries, keys = layer_fn(
                 lp, queries, query_pe, keys, kpe_l, qpe_l, cfg.num_heads,
                 skip_pe=(i == 0),
                 keys_idx=store_idx if i == 0 else None,

@@ -400,6 +400,230 @@ def _kernel(
     tokens_out_ref[...] = x_tok.astype(tokens_out_ref.dtype).reshape(G, _T, C)
 
 
+def _dma_kernel(
+    tokens_ref,  # [G, T, C] current token state (auto-pipelined VMEM block)
+    qpe_tok_ref,  # [G, T, C]
+    *refs,
+    G: int,
+    nsteps: int,
+    skip_pe: bool,
+    eps: float,
+    self_scale: float,
+    cross_scale: float,
+    idx_smem,  # SMEM int32 [B] store row per candidate (scalar prefetch)
+    scale_smem=None,  # SMEM fp32 [S] per-row dequant scales (int8 store)
+):
+    """The fused layer with MANUAL double-buffered keys DMA.
+
+    The production `_kernel` leaves keys pipelining to Mosaic, and the
+    measured per-step cost is DMA(keys in+out) + compute SERIAL — neither
+    `dimension_semantics` nor a CostEstimate unlocks overlap (negative
+    result #6). Here keys stay in HBM (`ANY` memory space) and the kernel
+    itself issues `pltpu.make_async_copy`s: group i+1's G candidate rows
+    start fetching into the alternate VMEM slot BEFORE group i's body runs,
+    and group i's updated rows drain back to HBM asynchronously while group
+    i+1 computes, so the ~39 us/step keys traffic can hide under the ~22 us
+    body (and vice versa).
+    """
+    quantized = scale_smem is not None
+    keys_hbm = refs[0]  # [S, N, C] candidate store (or batch w/ iota idx)
+    rest = refs[1:]
+    nL = len(_LAYER_REF_NAMES)
+    w = dict(zip(_LAYER_REF_NAMES, rest[:nL]))
+    consts = dict(zip(_CONST_REF_NAMES, rest[nL : nL + len(_CONST_REF_NAMES)]))
+    keys_out_hbm, tokens_out_ref, kin, kout, sem_in, sem_out = rest[
+        nL + len(_CONST_REF_NAMES) :
+    ]
+
+    dt = tokens_ref.dtype if quantized else keys_hbm.dtype
+    C = tokens_ref.shape[2]
+    GT = G * _T
+    N = kin.shape[2]
+    n_tiles = N // _TILE
+    i = pl.program_id(0)
+
+    def in_copy(j, g):
+        return pltpu.make_async_copy(
+            keys_hbm.at[idx_smem[j * G + g]],
+            kin.at[j % 2, g],
+            sem_in.at[j % 2, g],
+        )
+
+    def out_copy(j):
+        return pltpu.make_async_copy(
+            kout.at[j % 2],
+            keys_out_hbm.at[pl.ds(j * G, G)],
+            sem_out.at[j % 2],
+        )
+
+    @pl.when(i == 0)
+    def _warmup():
+        for g in range(G):
+            in_copy(0, g).start()
+
+    @pl.when(i + 1 < nsteps)
+    def _prefetch_next():
+        for g in range(G):
+            in_copy(i + 1, g).start()
+
+    # the out-DMA issued two steps ago used THIS slot — drain before rewrite
+    @pl.when(i >= 2)
+    def _free_out_slot():
+        out_copy(i - 2).wait()
+
+    for g in range(G):
+        in_copy(i, g).wait()
+
+    slot = i % 2
+    x_tok = tokens_ref[...].reshape(GT, C).astype(jnp.float32)
+    qpe_t = qpe_tok_ref[...].reshape(GT, C).astype(jnp.float32)
+
+    def read_rows(c, t):
+        r = kin[slot, c, pl.ds(t * _TILE, _TILE), :]
+        if quantized:
+            sc = scale_smem[idx_smem[i * G + c]]
+            return (r.astype(jnp.float32) * sc).astype(dt)
+        return r
+
+    def write_rows(c, t, z):
+        kout[slot, c, pl.ds(t * _TILE, _TILE), :] = z.astype(kout.dtype)
+
+    x_tok = _layer_body(
+        x_tok, qpe_t, w, consts, read_rows, write_rows,
+        G=G, n_tiles=n_tiles, skip_pe=skip_pe, eps=eps,
+        self_scale=self_scale, cross_scale=cross_scale, dt=dt,
+    )
+    tokens_out_ref[...] = x_tok.astype(tokens_out_ref.dtype).reshape(G, _T, C)
+
+    out_copy(i).start()
+
+    @pl.when(i == nsteps - 1)
+    def _drain():
+        out_copy(i).wait()
+
+    if nsteps >= 2:
+        # step nsteps-2's out-DMA is only covered by the i>=2 rule up to
+        # step nsteps-1's OTHER slot — drain it explicitly at the end
+        @pl.when(i == nsteps - 1)
+        def _drain_prev():
+            out_copy(i - 1).wait()
+
+
+def two_way_layer_dma(
+    lp,
+    tokens: jax.Array,  # [B, n_tok, C]
+    qpe_tok: jax.Array,  # [B, n_tok, C]
+    keys: jax.Array,  # [B, N, C] batch or STORE [S, N, C] (with keys_idx)
+    kpe: jax.Array,  # [N, I]
+    qpe_img: jax.Array,  # [N, I]
+    num_heads: int,
+    skip_pe: bool,
+    eps: float = 1e-5,
+    keys_idx: jax.Array = None,
+    keys_scale: jax.Array = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """`two_way_layer_fused` with manual double-buffered keys DMA (see
+    `_dma_kernel`). Same contract; without ``keys_idx`` the batch is treated
+    as a store with identity indices (one code path)."""
+    B, n_tok, C = tokens.shape
+    N = keys.shape[1]
+    quantized = keys_scale is not None
+    if quantized:
+        assert keys_idx is not None and keys.dtype == jnp.int8
+        dt = tokens.dtype
+    else:
+        dt = keys.dtype
+    I = lp["cross_attn_t2i"]["q_proj"]["w"].shape[-1]
+    assert N % _TILE == 0 and n_tok <= _T
+    if keys_idx is None:
+        keys_idx = jnp.arange(B, dtype=jnp.int32)
+    else:
+        assert keys_idx.shape == (B,) and keys.shape[2] == C
+
+    G = max(gg for gg in (_GROUP, 2, 1) if B % gg == 0)
+    nsteps = B // G
+
+    pad = _T - n_tok
+    if pad:
+        tokens = jnp.pad(tokens, ((0, 0), (0, pad), (0, 0)))
+        qpe_tok = jnp.pad(qpe_tok, ((0, 0), (0, pad), (0, 0)))
+
+    consts = _constants(num_heads, C, I, n_tok, dt, G)
+    self_scale = 1.0 / float(np.sqrt(C // num_heads))
+    cross_scale = 1.0 / float(np.sqrt(I // num_heads))
+
+    args = [
+        tokens, qpe_tok, keys,
+        *_layer_arg_arrays(lp, kpe, qpe_img, dt),
+        *consts,
+    ]
+    n_pref = 2 if quantized else 1
+    grp3 = lambda *shape: pl.BlockSpec(
+        shape, lambda i, *ps: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    cdim = lambda *shape: pl.BlockSpec(
+        shape, lambda i, *ps: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        grp3(G, tokens.shape[1], C),
+        grp3(G, qpe_tok.shape[1], C),
+        pl.BlockSpec(memory_space=pltpu.ANY),  # keys stay in HBM
+    ]
+    for a in args[3:]:
+        in_specs.append(cdim(*a.shape))
+
+    kernel = functools.partial(
+        _dma_kernel,
+        G=G,
+        nsteps=nsteps,
+        skip_pe=skip_pe,
+        eps=eps,
+        self_scale=self_scale,
+        cross_scale=cross_scale,
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((B, N, C), dt),
+        jax.ShapeDtypeStruct((B, _T, C), dt),
+    )
+    out_specs = (
+        pl.BlockSpec(memory_space=pltpu.ANY),  # written by the kernel's DMA
+        grp3(G, _T, C),
+    )
+    scratch = [
+        pltpu.VMEM((2, G, N, C), keys.dtype),  # kin (int8 when quantized)
+        pltpu.VMEM((2, G, N, C), dt),  # kout
+        pltpu.SemaphoreType.DMA((2, G)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    if quantized:
+        wrapped = lambda idx_ref, scale_ref, *refs: kernel(
+            *refs, idx_smem=idx_ref, scale_smem=scale_ref
+        )
+        pref_args = (
+            keys_idx.astype(jnp.int32),
+            keys_scale.reshape(-1).astype(jnp.float32),
+        )
+    else:
+        wrapped = lambda idx_ref, *refs: kernel(*refs, idx_smem=idx_ref)
+        pref_args = (keys_idx.astype(jnp.int32),)
+    keys_out, tokens_out = pl.pallas_call(
+        wrapped,
+        out_shape=out_shape,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=n_pref,
+            grid=(nsteps,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+        ),
+        compiler_params=params,
+        interpret=_interpret(),
+    )(*pref_args, *args)
+
+    return tokens_out[:, :n_tok, :], keys_out
+
+
 def _stack_kernel(
     tokens_ref,  # [G, T, C] initial tokens (= point embeddings)
     qpe_tok_ref,  # [G, T, C]

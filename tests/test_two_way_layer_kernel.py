@@ -251,6 +251,60 @@ def test_two_way_grid_fused_matches_composition(full_size_layer, rng, monkeypatc
     )
 
 
+def test_two_way_layer_dma_matches_composition(full_size_layer, rng, monkeypatch):
+    """The manual-DMA double-buffered layer kernel (keys in HBM, the kernel
+    prefetches group i+1 / drains group i-1 around group i's body) == the
+    unfused XLA transformer at B=12 (G=4 -> 3 grid steps, exercising the
+    slot-reuse wait path), including the store-indexed and int8-store
+    variants."""
+    import cor_tpu.models.sam_decoder as sd
+
+    monkeypatch.setattr(sd, "DMA_FUSED", True)
+    cfg, p = full_size_layer
+    B, N, C = 12, twl._TILE * 2, 256
+    lp = p["layers"][0]
+
+    keys = jnp.asarray(rng.standard_normal((B, N, C)).astype(np.float32) * 0.5)
+    tokens = jnp.asarray(rng.standard_normal((B, 6, C)).astype(np.float32) * 0.5)
+    key_pe = jnp.asarray(rng.standard_normal((1, N, C)).astype(np.float32) * 0.5)
+    kpe = _matmul_nobias(lp["cross_attn_t2i"]["k_proj"], key_pe)[0]
+    qpe_img = _matmul_nobias(lp["cross_attn_i2t"]["q_proj"], key_pe)[0]
+
+    q_ref, k_ref = _two_way_block(
+        lp, tokens, keys, tokens, key_pe, cfg.num_heads,
+        skip_first_layer_pe=True, fused=False,
+    )
+    q_d, k_d = twl.two_way_layer_dma(
+        lp, tokens, tokens, keys, kpe, qpe_img, cfg.num_heads, skip_pe=True
+    )
+    np.testing.assert_allclose(np.asarray(q_d), np.asarray(q_ref), atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(k_d), np.asarray(k_ref), atol=2e-4, rtol=2e-4)
+
+    # store-indexed: decoding store rows idx through the DMA kernel == the
+    # batch path reordered
+    idx = np.array([5, 2, 7, 0, 1, 6, 3, 4, 11, 9, 10, 8], np.int32)
+    q_s, k_s = twl.two_way_layer_dma(
+        lp, tokens[jnp.asarray(idx)], tokens[jnp.asarray(idx)], keys,
+        kpe, qpe_img, cfg.num_heads, skip_pe=True, keys_idx=jnp.asarray(idx),
+    )
+    np.testing.assert_allclose(np.asarray(q_s), np.asarray(q_d)[idx], atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(k_s), np.asarray(k_d)[idx], atol=2e-4, rtol=2e-4)
+
+    # int8 store: DMA-kernel in-VMEM dequant == dequantize-then-decode
+    scale = jnp.max(jnp.abs(keys.reshape(B, -1)), axis=1) / 127.0
+    q8 = jnp.clip(jnp.round(keys / scale[:, None, None]), -127, 127).astype(jnp.int8)
+    deq = (q8.astype(jnp.float32) * scale[:, None, None]).astype(jnp.float32)
+    q_deq, k_deq = twl.two_way_layer_dma(
+        lp, tokens, tokens, deq, kpe, qpe_img, cfg.num_heads, skip_pe=True
+    )
+    q_i8, k_i8 = twl.two_way_layer_dma(
+        lp, tokens, tokens, q8, kpe, qpe_img, cfg.num_heads, skip_pe=True,
+        keys_idx=jnp.arange(B, dtype=jnp.int32), keys_scale=scale,
+    )
+    np.testing.assert_allclose(np.asarray(q_i8), np.asarray(q_deq), atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(k_i8), np.asarray(k_deq), atol=2e-4, rtol=2e-4)
+
+
 def test_two_way_stack_fused_matches_composition(full_size_layer, rng, monkeypatch):
     """The whole-stack kernel (both layers + final t2i + norm_final in ONE
     pallas_call) == the unfused XLA transformer, at B=8 (G=4 grouping) over

@@ -31,7 +31,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--semantics", choices=["parallel", "arbitrary"], default=None)
     ap.add_argument("--cost", action="store_true")
-    ap.add_argument("--variant", choices=["layer", "grid", "stack"], default="layer")
+    ap.add_argument(
+        "--variant", choices=["layer", "grid", "stack", "dma"], default="layer"
+    )
     ap.add_argument(
         "--int8", action="store_true",
         help="int8 per-row-quantized candidate store (in-kernel dequant)",
@@ -64,6 +66,7 @@ def main():
 
     sd.GRID_FUSED = args.variant == "grid"
     sd.STACK_FUSED = args.variant == "stack"
+    sd.DMA_FUSED = args.variant == "dma"
 
     cfg = CoreConfig(
         sam_model="sam_base",
