@@ -69,7 +69,6 @@ def main(argv=None):
     from cor_tpu.models.core_model import init_core_model
     from cor_tpu.parallel import make_mesh
     from cor_tpu.retrieval.protocol import (
-        encode_manifest,
         evaluate_retrieval,
         evaluate_retrieval_with_index,
     )

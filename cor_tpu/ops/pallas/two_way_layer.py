@@ -567,7 +567,7 @@ def two_way_layer_dma(
     in_specs = [
         grp3(G, tokens.shape[1], C),
         grp3(G, qpe_tok.shape[1], C),
-        pl.BlockSpec(memory_space=pltpu.ANY),  # keys stay in HBM
+        pl.BlockSpec(memory_space=pl.ANY),  # keys stay in HBM
     ]
     for a in args[3:]:
         in_specs.append(cdim(*a.shape))
@@ -586,7 +586,7 @@ def two_way_layer_dma(
         jax.ShapeDtypeStruct((B, _T, C), dt),
     )
     out_specs = (
-        pl.BlockSpec(memory_space=pltpu.ANY),  # written by the kernel's DMA
+        pl.BlockSpec(memory_space=pl.ANY),  # written by the kernel's DMA
         grp3(G, _T, C),
     )
     scratch = [

@@ -377,6 +377,7 @@ class RetrievalEngine:
         self.k = k
         self.quantize = quantize
         self.approx = approx
+        self.recall_target = recall_target
         self._retrieve = make_sharded_retrieve(
             mesh, k, approx, recall_target, quantized=quantize
         )
@@ -394,15 +395,29 @@ class RetrievalEngine:
         per-row quantized, dense no-mask prompt pre-baked), row-aligned
         with the gallery, and build the fused scan+decode+merge path
         (make_sharded_retrieve_decode). ``store`` is [G, g, g, C] (numpy or
-        mmap; quantized host-side chunk-by-chunk so only int8 ships)."""
+        mmap; quantized host-side chunk-by-chunk so only int8 ships) OR an
+        already-quantized ``(q_int8, scales)`` pair (e.g. from
+        encode_manifest(keep_store=True), which quantizes batch-by-batch to
+        avoid ever holding the full-precision store on host — no_mask_embed
+        must already be baked in and is rejected here)."""
         assert self.gallery is not None, (
             "set_gallery first — store rows align with gallery rows"
         )
         g_padded = int(self.gallery.indices.shape[0])
-        assert store.shape[0] == self.gallery.size, (
-            f"store rows {store.shape[0]} != gallery size {self.gallery.size}"
+        if isinstance(store, tuple):
+            q, scales = store
+            assert q.dtype == np.int8 and no_mask_embed is None, (
+                "pre-quantized stores carry their own scales with the dense "
+                "prompt already baked in"
+            )
+        else:
+            q = None
+        assert (q if q is not None else store).shape[0] == self.gallery.size, (
+            f"store rows {(q if q is not None else store).shape[0]} != "
+            f"gallery size {self.gallery.size}"
         )
-        q, scales = quantize_candidate_store_host(store, no_mask_embed)
+        if q is None:
+            q, scales = quantize_candidate_store_host(store, no_mask_embed)
         pad = g_padded - q.shape[0]
         if pad:
             q = np.concatenate([q, np.zeros((pad, *q.shape[1:]), np.int8)])
@@ -413,6 +428,7 @@ class RetrievalEngine:
         self._retrieve_decode = make_sharded_retrieve_decode(
             self.mesh, decoder_cfg, self.k,
             quantized=self.quantize, approx=self.approx,
+            recall_target=self.recall_target,
         )
 
     def retrieve_decode(self, query_embeddings, dec_params, image_pe):

@@ -38,20 +38,31 @@ def encode_manifest(
     params,
     batches: Iterable[Dict[str, np.ndarray]],
     keep_store: bool = False,
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray, Optional[np.ndarray]]:
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, Optional[Tuple[np.ndarray, np.ndarray]]]:
     """One pass over the triplet loader -> (gallery [G, D], queries [G, D],
-    pair_ids [G], store [G, g, g, C] fp16 or None). Row i of every output
-    comes from triplet i; ``keep_store`` also stacks the SAM image
-    embeddings (for decode-reranked retrieval)."""
+    pair_ids [G], store or None). Row i of every output comes from triplet
+    i; ``keep_store`` also keeps each SAM image embedding (for
+    decode-reranked retrieval) as an int8 per-row-quantized
+    ``(q [G, g, g, C], scales [G])`` pair with the dense no-mask prompt
+    pre-baked — quantized batch-by-batch so the full-precision store (fp32
+    ~266 GB at COR127K scale) never exists on host. Feed the pair straight
+    to RetrievalEngine.enable_store_decode."""
+    from cor_tpu.retrieval.engine import quantize_candidate_store_host
+
     encode_cand = make_candidate_encoder(cfg)
     encode_query = make_query_encoder(cfg)
-    gallery, queries, ids, stores = [], [], [], []
+    no_mask = (
+        np.asarray(params["prompt_encoder"]["no_mask_embed"][0]) if keep_store else None
+    )
+    gallery, queries, ids, store_qs, store_scales = [], [], [], [], []
     for b in batches:
         emb, ie = encode_cand(
             params, jnp.asarray(b["query_img"]), jnp.asarray(b["query_mask"])
         )
         if keep_store:
-            stores.append(np.asarray(ie, np.float16))
+            q8, sc = quantize_candidate_store_host(np.asarray(ie), no_mask)
+            store_qs.append(q8)
+            store_scales.append(sc)
         q = encode_query(
             params,
             jnp.asarray(b["support_img"]),
@@ -65,24 +76,34 @@ def encode_manifest(
         np.concatenate(gallery, axis=0),
         np.concatenate(queries, axis=0),
         np.concatenate(ids, axis=0),
-        np.concatenate(stores, axis=0) if keep_store else None,
+        (np.concatenate(store_qs, axis=0), np.concatenate(store_scales, axis=0))
+        if keep_store
+        else None,
     )
 
 
-def _scan_recall(mesh, gallery, queries, targets, ks, query_batch) -> Dict[str, float]:
-    """Shared scan half of both protocol entry points: sharded engine scan
+def _scan_recall(
+    mesh, gallery, queries, targets, ks, query_batch, make_retrieve=None
+) -> Dict[str, float]:
+    """Shared scan half of every protocol entry point: sharded engine scan
     of (already-encoded) queries against the gallery + Recall@K. Queries are
     L2-normed by the support branch already; normalize defensively so cosine
-    stays a dot product."""
+    stays a dot product. ``make_retrieve(engine)`` may replace the plain
+    scan with another [Q, D] -> indices [Q, k] retriever over the same
+    engine (the decode-reranked variant)."""
     g = gallery.shape[0]
     k_max = min(max(ks), g)
     engine = RetrievalEngine(mesh, k=k_max)
     engine.set_gallery(gallery)
+    retrieve = (
+        (lambda q: engine.retrieve(q)[1])
+        if make_retrieve is None
+        else make_retrieve(engine)
+    )
     queries = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
     retrieved = []
     for s in range(0, queries.shape[0], query_batch):
-        _, idx = engine.retrieve(jnp.asarray(queries[s : s + query_batch]))
-        retrieved.append(np.asarray(idx))
+        retrieved.append(np.asarray(retrieve(jnp.asarray(queries[s : s + query_batch]))))
     retrieved = np.concatenate(retrieved, axis=0)  # [Q, k_max]
     out = recall_at_k(retrieved, targets, ks=[k for k in ks if k <= g])
     out["gallery_size"] = float(g)
@@ -111,34 +132,26 @@ def evaluate_retrieval(
     gallery, queries, _, store = encode_manifest(
         cfg, params, loader, keep_store=rerank
     )
-    g = gallery.shape[0]
-    targets = np.arange(g)
-    if not rerank:
-        return _scan_recall(mesh, gallery, queries, targets, ks, query_batch)
+    targets = np.arange(gallery.shape[0])
+    make_retrieve = None
+    if rerank:
+        from cor_tpu.models.core_model import _cast
+        from cor_tpu.models.prompt_encoder import get_dense_pe
 
-    from cor_tpu.models.core_model import _cast
-    from cor_tpu.models.prompt_encoder import get_dense_pe
+        dec_params = _cast(params["mask_decoder"], cfg.dtype)
+        image_pe = get_dense_pe(
+            _cast(params["prompt_encoder"], cfg.dtype), cfg.prompt
+        ).astype(cfg.dtype)
 
-    k_max = min(max(ks), g)
-    engine = RetrievalEngine(mesh, k=k_max)
-    engine.set_gallery(gallery)
-    engine.enable_store_decode(
-        cfg.decoder, store,
-        no_mask_embed=np.asarray(params["prompt_encoder"]["no_mask_embed"][0]),
+        def make_retrieve(engine):
+            # store is the already-quantized (q, scales) pair — the dense
+            # no-mask prompt was baked in batch-by-batch by encode_manifest
+            engine.enable_store_decode(cfg.decoder, store)
+            return lambda q: engine.retrieve_decode(q, dec_params, image_pe)[2]
+
+    return _scan_recall(
+        mesh, gallery, queries, targets, ks, query_batch, make_retrieve
     )
-    dec_params = _cast(params["mask_decoder"], cfg.dtype)
-    image_pe = get_dense_pe(_cast(params["prompt_encoder"], cfg.dtype), cfg.prompt).astype(cfg.dtype)
-    queries = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
-    retrieved = []
-    for s in range(0, queries.shape[0], query_batch):
-        _, _, idx = engine.retrieve_decode(
-            jnp.asarray(queries[s : s + query_batch]), dec_params, image_pe
-        )
-        retrieved.append(np.asarray(idx))
-    retrieved = np.concatenate(retrieved, axis=0)
-    out = recall_at_k(retrieved, targets, ks=[k for k in ks if k <= g])
-    out["gallery_size"] = float(g)
-    return out
 
 
 def evaluate_retrieval_with_index(

@@ -27,6 +27,25 @@ def _read_events(path):
     ]
 
 
+def _read_records(path):
+    """Pure-python TFRecord framing reader (no tensorflow): verifies both
+    masked CRCs of every record against the module's own mask math and
+    returns the raw event payloads."""
+    data = path.read_bytes()
+    records, off = [], 0
+    while off < len(data):
+        hdr = data[off : off + 8]
+        (hcrc,) = struct.unpack("<I", data[off + 8 : off + 12])
+        assert hcrc == _masked_crc32c(hdr)
+        (length,) = struct.unpack("<Q", hdr)
+        payload = data[off + 12 : off + 12 + length]
+        (pcrc,) = struct.unpack("<I", data[off + 12 + length : off + 16 + length])
+        assert pcrc == _masked_crc32c(payload)
+        records.append(payload)
+        off += 16 + length
+    return records
+
+
 def test_native_event_writer_tf_readable(tmp_path):
     pytest.importorskip("tensorflow")  # only THIS test needs the tf oracle
     w = _NativeEventWriter(tmp_path)
@@ -68,9 +87,20 @@ def test_summary_writer_falls_back_without_tf(tmp_path, monkeypatch):
     monkeypatch.undo()
 
     (f,) = list((tmp_path / "tb").glob("events.out.tfevents.*"))
-    events = _read_events(f)
-    assert events[1].summary.value[0].tag == "Train/LearningRate"
-    assert events[1].summary.value[0].simple_value == pytest.approx(1e-4)
+    # pure-python verification so THIS test holds on tf-less hosts (its
+    # whole point): TFRecord framing + CRCs via the module's own mask math
+    records = _read_records(f)
+    assert len(records) == 2  # file-version event + the scalar event
+    assert b"brain.Event:2" in records[0]
+    assert b"Train/LearningRate" in records[1]
+    try:
+        import tensorflow  # noqa: F401
+
+        events = _read_events(f)  # full proto decode when the oracle exists
+        assert events[1].summary.value[0].tag == "Train/LearningRate"
+        assert events[1].summary.value[0].simple_value == pytest.approx(1e-4)
+    except ImportError:
+        pass
 
 
 def test_varint_and_crc_primitives():
@@ -78,11 +108,6 @@ def test_varint_and_crc_primitives():
     assert _varint(0) == b"\x00"
     assert _varint(1) == b"\x01"
     assert _varint(300) == b"\xac\x02"
-    # masked crc32c of the TFRecord header for a 13-byte payload must match
-    # what tensorflow's reader accepts (covered end-to-end above); here pin
-    # the unmasked->masked transform on a known vector: crc32c(b"123456789")
-    # = 0xE3069283 -> masked 0xD2160A16... recompute via the same table to
-    # guard accidental edits to the constants.
     # known vector: crc32c(b"123456789") = 0xE3069283; the TFRecord mask
     # ((crc >> 15 | crc << 17) + 0xa282ead8) gives 0xC78AB0E5 — pinning the
     # exact value guards the table/constants even on tf-less hosts (where

@@ -264,6 +264,17 @@ def test_two_way_layer_dma_matches_composition(full_size_layer, rng, monkeypatch
     B, N, C = 12, twl._TILE * 2, 256
     lp = p["layers"][0]
 
+    # the sam_decoder dispatch itself (DMA_FUSED -> two_way_layer_dma for
+    # BOTH layers of the fused transformer) vs the unfused composition
+    g = 32  # 32*32 = 1024 rows = one row tile
+    img = jnp.asarray(rng.standard_normal((8, g, g, C)).astype(np.float32) * 0.3)
+    pe = jnp.asarray(rng.standard_normal((1, g, g, C)).astype(np.float32) * 0.3)
+    toks = jnp.asarray(rng.standard_normal((8, 6, C)).astype(np.float32) * 0.5)
+    hs_ref, src_ref = two_way_transformer(p, img, pe, toks, cfg, fused=False)
+    hs_d, src_d = two_way_transformer(p, img, pe, toks, cfg, fused=True)
+    np.testing.assert_allclose(np.asarray(hs_d), np.asarray(hs_ref), atol=5e-4, rtol=5e-4)
+    np.testing.assert_allclose(np.asarray(src_d), np.asarray(src_ref), atol=5e-4, rtol=5e-4)
+
     keys = jnp.asarray(rng.standard_normal((B, N, C)).astype(np.float32) * 0.5)
     tokens = jnp.asarray(rng.standard_normal((B, 6, C)).astype(np.float32) * 0.5)
     key_pe = jnp.asarray(rng.standard_normal((1, N, C)).astype(np.float32) * 0.5)

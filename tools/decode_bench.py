@@ -15,6 +15,7 @@ variant:
   python tools/decode_bench.py --semantics parallel --cost
   python tools/decode_bench.py --variant grid  # layer-as-grid-dim kernel
   python tools/decode_bench.py --variant stack # whole-stack kernel
+  python tools/decode_bench.py --variant dma   # manual double-buffered DMA
 
 Prints ms/128-candidate chunk and candidates/sec (decode only).
 """
