@@ -23,6 +23,11 @@ def main():
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--trace", default=None)
     ap.add_argument("--q", type=int, default=16)
+    ap.add_argument(
+        "--model", default="ViT-B-16-SigLIP-384",
+        help="SigLIP tower (any cor_tpu.models.siglip.SIGLIP_MODELS key, "
+        "e.g. ViT-SO400M-14-SigLIP-384 for the largest reference tower)",
+    )
     args = ap.parse_args()
 
     sys.path.insert(0, str(Path(__file__).parent.parent))
@@ -40,7 +45,7 @@ def main():
 
     cfg = CoreConfig(
         sam_model="sam_base",
-        siglip_model="ViT-B-16-SigLIP-384",
+        siglip_model=args.model,
         mask_pooling="MaskAdapterPooling",
         multimask_output=False,
         compute_dtype="bfloat16",
@@ -78,6 +83,7 @@ def main():
     dt = time.perf_counter() - t0
     ms = dt / iters * 1e3
     print(json.dumps({
+        "model": args.model,
         "encode_ms_per_iter": round(ms, 3),
         "queries_per_iter": Q,
         "encodes_per_sec": round(Q * iters / dt, 1),
