@@ -142,13 +142,14 @@ def main(argv=None):
     if args.gallery_index:
         from cor_tpu.retrieval.index import load_gallery_index
 
-        if args.rerank:
+        index = load_gallery_index(args.gallery_index)
+        if args.rerank and index.get("store") is None:
             raise SystemExit(
-                "--rerank runs on a live-encoded gallery (it needs the SAM "
-                "image embeddings); drop --gallery-index"
+                "--rerank needs the SAM image-embedding store in the gallery "
+                "index — rebuild it with `cor_tpu.cli.index --with-store`"
             )
         result = evaluate_retrieval_with_index(
-            core_cfg, params, loader, mesh, load_gallery_index(args.gallery_index), ks=ks
+            core_cfg, params, loader, mesh, index, ks=ks, rerank=args.rerank
         )
     else:
         result = evaluate_retrieval(

@@ -162,6 +162,7 @@ def evaluate_retrieval_with_index(
     index: Dict[str, np.ndarray],
     ks: Tuple[int, ...] = (1, 5, 10),
     query_batch: int = 256,
+    rerank: bool = False,
 ) -> Dict[str, float]:
     """Serving-mode protocol: queries encoded live, gallery loaded from a
     prebuilt ``cor_tpu.cli.index`` artifact (no candidate re-encoding).
@@ -171,6 +172,12 @@ def evaluate_retrieval_with_index(
     superset manifest or a different row order). Queries whose pair id is
     absent from the index raise: that is a mismatched artifact, the same
     hard-fail convention as explicit checkpoint paths.
+
+    ``rerank=True`` mask-decodes each shard's local top-k straight from the
+    artifact's SAM-embedding store (``cor_tpu.cli.index --with-store``; the
+    mmap'd fp16 store is quantized to int8 chunk-by-chunk, never loaded
+    whole) and ranks the merged pool by predicted mask IoU — the same
+    decode-reranked protocol as evaluate_retrieval(rerank=True).
     """
     encode_query = make_query_encoder(cfg)
     queries, qids = [], []
@@ -196,4 +203,28 @@ def evaluate_retrieval_with_index(
     targets = np.asarray([pos[int(p)] for p in qids])
 
     gallery = np.asarray(index["embeddings"], np.float32)
-    return _scan_recall(mesh, gallery, queries, targets, ks, query_batch)
+    make_retrieve = None
+    if rerank:
+        if index.get("store") is None:
+            raise ValueError(
+                "rerank needs the SAM image-embedding store in the gallery "
+                "index — rebuild it with `cor_tpu.cli.index --with-store`"
+            )
+        from cor_tpu.models.core_model import _cast
+        from cor_tpu.models.prompt_encoder import get_dense_pe
+
+        dec_params = _cast(params["mask_decoder"], cfg.dtype)
+        image_pe = get_dense_pe(
+            _cast(params["prompt_encoder"], cfg.dtype), cfg.prompt
+        ).astype(cfg.dtype)
+        no_mask = np.asarray(params["prompt_encoder"]["no_mask_embed"][0])
+
+        def make_retrieve(engine):
+            engine.enable_store_decode(
+                cfg.decoder, index["store"], no_mask_embed=no_mask
+            )
+            return lambda q: engine.retrieve_decode(q, dec_params, image_pe)[2]
+
+    return _scan_recall(
+        mesh, gallery, queries, targets, ks, query_batch, make_retrieve
+    )

@@ -273,7 +273,19 @@ def test_gallery_index_build_save_load_serve(key, tmp_path):
     )
     assert r_fwd == r_rev
 
-    # failure modes: foreign dir, mismatched pair ids
+    # decode-reranked serving protocol: runs off the artifact's mmap'd fp16
+    # store (quantized chunk-by-chunk) and returns recalls over the same
+    # gallery; with k == gallery size every row is decoded so recall@10 of a
+    # 10-row gallery is exactly 1.0 (the decoded pool contains every target)
+    r_rr = evaluate_retrieval_with_index(
+        cfg, params, DataLoader(ds, batch_size=4), mesh, idx,
+        ks=(1, 5, 10), rerank=True,
+    )
+    assert r_rr["gallery_size"] == 10.0
+    assert r_rr["recall@10"] == 1.0
+    assert 0.0 <= r_rr["recall@1"] <= 1.0
+
+    # failure modes: foreign dir, mismatched pair ids, rerank w/o store
     with pytest.raises(FileNotFoundError):
         load_gallery_index(tmp_path)  # no meta.json
     bad = dict(idx)
@@ -281,6 +293,13 @@ def test_gallery_index_build_save_load_serve(key, tmp_path):
     with pytest.raises(ValueError, match="absent from the gallery index"):
         evaluate_retrieval_with_index(
             cfg, params, DataLoader(ds, batch_size=4), mesh, bad, ks=(1,)
+        )
+    nostore = dict(idx)
+    nostore["store"] = None
+    with pytest.raises(ValueError, match="--with-store"):
+        evaluate_retrieval_with_index(
+            cfg, params, DataLoader(ds, batch_size=4), mesh, nostore,
+            ks=(1,), rerank=True,
         )
 
 
