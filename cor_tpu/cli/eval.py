@@ -18,6 +18,15 @@ def main(argv=None):
     parser.add_argument("--config", required=True)
     parser.add_argument("--soft", action="store_true", help="also dump soft (grayscale) masks")
     parser.add_argument(
+        "--limit",
+        type=int,
+        default=0,
+        metavar="N",
+        help="evaluate only the first N manifest rows per split (debug "
+        "truncation — the reference keeps this as commented-out lines, "
+        "dataloader.py:89,257)",
+    )
+    parser.add_argument(
         "--visualize",
         type=int,
         default=0,
@@ -81,7 +90,7 @@ def main(argv=None):
     for split_name, csv_path in (("Test_1", cfg.val_csv_A), ("Test_2", cfg.val_csv_B)):
         if not csv_path:
             continue
-        loader = get_valid_loader(cfg, csv_path=csv_path)
+        loader = get_valid_loader(cfg, csv_path=csv_path, limit=args.limit or None)
         out_dir = Path(cfg.vaild_model_save_path) / split_name
         # dump filenames are {pair_id}_{query_mask_name} exactly like the
         # reference (vailder.py:466-484) so offline Recall@K tooling keyed on

@@ -44,6 +44,14 @@ def main(argv=None):
     parser.add_argument("--synthetic", type=int, default=0, metavar="N")
     parser.add_argument("--batch-size", type=int, default=0)
     parser.add_argument(
+        "--limit",
+        type=int,
+        default=0,
+        metavar="N",
+        help="index only the first N manifest rows (debug truncation); "
+        "ignored with --synthetic",
+    )
+    parser.add_argument(
         "--with-store",
         action="store_true",
         help="also save SAM image embeddings for image-free candidate decode",
@@ -101,6 +109,7 @@ def main(argv=None):
             dataset_path=cfg.dataset_path,
             train=False,
             tokenizer_path=cfg.tokenizer_path,
+            limit=args.limit or None,
         )
     loader = DataLoader(ds, args.batch_size or cfg.batch_size, num_workers=cfg.num_workers)
 

@@ -37,6 +37,15 @@ def main(argv=None):
     )
     parser.add_argument("--batch-size", type=int, default=0, help="override config batch size")
     parser.add_argument(
+        "--limit",
+        type=int,
+        default=0,
+        metavar="N",
+        help="run the protocol on only the first N manifest rows (debug "
+        "truncation — the reference keeps this as commented-out lines, "
+        "dataloader.py:89,257); ignored with --synthetic",
+    )
+    parser.add_argument(
         "--rerank", action="store_true",
         help="decode-reranked protocol: each chip mask-decodes its local "
              "top-k from a mesh-sharded int8 store of the candidates' SAM "
@@ -104,8 +113,6 @@ def main(argv=None):
         and not cfg.tokenizer_path
         and (cfg.load_siglip_pretrained_checkpoint or cfg.load_checkpoint_path)
     ):
-        import logging
-
         logging.getLogger("cor_tpu.retrieve").warning(
             "tokenizer_path is unset while pretrained weights are configured: "
             "manifest texts will be HASH-tokenized with ids unrelated to the "
@@ -133,6 +140,7 @@ def main(argv=None):
             dataset_path=cfg.dataset_path,
             train=False,
             tokenizer_path=cfg.tokenizer_path,
+            limit=args.limit or None,
         )
     loader = DataLoader(ds, batch_size, num_workers=cfg.num_workers)
 

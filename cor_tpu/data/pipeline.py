@@ -361,13 +361,19 @@ def get_train_loader(cfg, tokenizer_path: Optional[str] = None) -> DataLoader:
     )
 
 
-def get_valid_loader(cfg, csv_path: Optional[str] = None, tokenizer_path=None) -> DataLoader:
-    """reference: dataloader.py:372-412."""
+def get_valid_loader(
+    cfg, csv_path: Optional[str] = None, tokenizer_path=None,
+    limit: Optional[int] = None,
+) -> DataLoader:
+    """reference: dataloader.py:372-412. ``limit`` truncates the manifest to
+    the first N rows — the working form of the reference's commented
+    debug-truncation lines (dataloader.py:89,257)."""
     ds = CORDataset(
         csv_path=csv_path or cfg.val_csv,
         dataset_path=cfg.dataset_path,
         train=False,
         tokenizer_path=tokenizer_path or getattr(cfg, "tokenizer_path", None),
+        limit=limit,
     )
     # validation stays UNSHARDED across hosts: every downstream consumer
     # (val_metric's manifest join by row order, pred-mask file naming, the

@@ -153,7 +153,17 @@ def _attention_2d_fused_impl(
     B, H, W, C = x.shape
     N = H * W
     head_dim = C // num_heads
-    if C % 128 != 0 or 128 % head_dim != 0 or "rel_pos_h" not in p:
+    # heads whose lane width doesn't tile 128 are lane-padded to 128 below
+    # (sam_huge: head_dim 80 -> sixteen one-head "pairs"); the windows-fused
+    # formulation has no pad shim, and head_dim > 128 would cross the 128-lane
+    # block boundary the kernel addresses heads through
+    pad_heads = 128 % head_dim != 0 and head_dim <= 128
+    if (
+        "rel_pos_h" not in p
+        or head_dim > 128
+        or (not pad_heads and C % 128 != 0)
+        or (pad_heads and window > 0)
+    ):
         if window > 0:
             xw, pad_hw = window_partition(x, window)
             xw = attention_2d(p, xw, num_heads)
@@ -241,7 +251,24 @@ def _attention_2d_fused_impl(
     eh = (jnp.arange(Hp)[:, None] == rows[None, :]).astype(jnp.float32)
     ew = (jnp.arange(Wp)[:, None] == cols[None, :]).astype(jnp.float32)
 
-    out = vit_attention_relpos_pallas(qkv, rel_h, rel_w, eh, ew, num_heads)
+    kd = head_dim
+    if pad_heads:
+        # lane-pad each head to 128 so the kernel's 128-lane head addressing
+        # engages (sam_huge: head_dim 80). q.k over the zero lanes adds
+        # exactly 0 and the kcat column-mean of a zero column is 0, so the
+        # math is exact; the TRUE softmax scale rides the explicit scale arg
+        # (the kernel's default would read the padded width). The pad/crop
+        # are linear, so autodiff routes the flash backward through them.
+        kd = 128
+        qkv = jnp.pad(
+            qkv.reshape(B, N, 3, num_heads, head_dim),
+            [(0, 0)] * 4 + [(0, kd - head_dim)],
+        ).reshape(B, N, 3 * num_heads * kd)
+    out = vit_attention_relpos_pallas(
+        qkv, rel_h, rel_w, eh, ew, num_heads, scale=head_dim**-0.5
+    )
+    if kd != head_dim:
+        out = out.reshape(B, N, num_heads, kd)[..., :head_dim].reshape(B, N, C)
     return dense(p["proj"], out.reshape(B, H, W, C))
 
 

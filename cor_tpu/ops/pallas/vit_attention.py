@@ -224,7 +224,7 @@ def _pad_cols(x: jax.Array, to: int) -> jax.Array:
     return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads",))
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale"))
 def _vit_attention_relpos_pallas_impl(
     qkv: jax.Array,  # [B, N, 3C] fused-QKV GEMM output
     rel_h: jax.Array,  # [B, HEADS, N, Kh] bias factors (einsum(q, Rh)), compute dtype
@@ -232,6 +232,8 @@ def _vit_attention_relpos_pallas_impl(
     eh: jax.Array,  # [Kh, N] row-indicator
     ew: jax.Array,  # [Kw, N] col-indicator
     num_heads: int,
+    scale: float | None = None,  # None -> 1/sqrt(lane head_dim); callers that
+    # lane-pad heads (head_dim 80 -> 128, sam_huge) pass the TRUE scale
 ) -> jax.Array:  # [B, N, C]
     B, N, C3 = qkv.shape
     C = C3 // 3
@@ -256,7 +258,10 @@ def _vit_attention_relpos_pallas_impl(
         tq //= 2
 
     out = pl.pallas_call(
-        functools.partial(_kernel, scale=1.0 / (D**0.5), head_dim=D),
+        functools.partial(
+            _kernel, scale=(scale if scale is not None else 1.0 / (D**0.5)),
+            head_dim=D,
+        ),
         out_shape=jax.ShapeDtypeStruct((B, N, C), qkv.dtype),
         grid=(B, P, N // tq),
         scratch_shapes=[pltpu.VMEM((heads_per_pair, N, D + Khp + Kwp), dt)],
@@ -385,7 +390,7 @@ def _kernel_bwd(
         dv_ref[0] += dv_full
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads",))
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale"))
 def _vit_attention_relpos_bwd(
     qkv: jax.Array,
     rel_h: jax.Array,
@@ -394,6 +399,7 @@ def _vit_attention_relpos_bwd(
     ew: jax.Array,
     do: jax.Array,  # [B, N, C] cotangent of the kernel output
     num_heads: int,
+    scale: float | None = None,
 ):
     """Returns (dqkv [B, N, 3C], drel_h, drel_w) for vit_attention_relpos_pallas."""
     B, N, C3 = qkv.shape
@@ -426,7 +432,10 @@ def _vit_attention_relpos_bwd(
     )
 
     dq, drh, drw, dk, dv = pl.pallas_call(
-        functools.partial(_kernel_bwd, scale=1.0 / (D**0.5), head_dim=D, khp=Khp, kwp=Kwp),
+        functools.partial(
+            _kernel_bwd, scale=(scale if scale is not None else 1.0 / (D**0.5)),
+            head_dim=D, khp=Khp, kwp=Kwp,
+        ),
         out_shape=(
             jax.ShapeDtypeStruct((B, N, C), dt),  # dq
             jax.ShapeDtypeStruct((B, num_heads, N, Khp), jnp.float32),  # drel_h
@@ -459,10 +468,12 @@ def _vit_attention_relpos_bwd(
 
 
 @functools.lru_cache(maxsize=None)
-def _vit_attention_diff(num_heads: int):
+def _vit_attention_diff(num_heads: int, scale: float | None = None):
     @jax.custom_vjp
     def f(qkv, rel_h, rel_w, eh, ew):
-        return _vit_attention_relpos_pallas_impl(qkv, rel_h, rel_w, eh, ew, num_heads)
+        return _vit_attention_relpos_pallas_impl(
+            qkv, rel_h, rel_w, eh, ew, num_heads, scale
+        )
 
     def fwd(qkv, rel_h, rel_w, eh, ew):
         return f(qkv, rel_h, rel_w, eh, ew), (qkv, rel_h, rel_w, eh, ew)
@@ -470,7 +481,7 @@ def _vit_attention_diff(num_heads: int):
     def bwd(res, do):
         qkv, rel_h, rel_w, eh, ew = res
         dqkv, drh, drw = _vit_attention_relpos_bwd(
-            qkv, rel_h, rel_w, eh, ew, do.astype(qkv.dtype), num_heads
+            qkv, rel_h, rel_w, eh, ew, do.astype(qkv.dtype), num_heads, scale
         )
         # the indicator matrices are integer-derived constants
         return dqkv, drh, drw, jnp.zeros_like(eh), jnp.zeros_like(ew)
@@ -479,8 +490,12 @@ def _vit_attention_diff(num_heads: int):
     return f
 
 
-def vit_attention_relpos_pallas(qkv, rel_h, rel_w, eh, ew, num_heads: int):
+def vit_attention_relpos_pallas(
+    qkv, rel_h, rel_w, eh, ew, num_heads: int, scale: float | None = None
+):
     """Differentiable entry: Pallas forward + the flash backward kernel above
     (NOT an XLA-oracle recompute — the oracle backward materializes
-    [B*heads, N, N] fp32 logits through HBM twice)."""
-    return _vit_attention_diff(num_heads)(qkv, rel_h, rel_w, eh, ew)
+    [B*heads, N, N] fp32 logits through HBM twice). ``scale`` overrides the
+    1/sqrt(lane head_dim) default — required when the caller lane-pads heads
+    (head_dim 80 -> 128) so the pad width never enters the math."""
+    return _vit_attention_diff(num_heads, scale)(qkv, rel_h, rel_w, eh, ew)

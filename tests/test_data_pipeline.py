@@ -93,6 +93,49 @@ def test_cor_dataset_shapes_and_loader(fake_cor_root):
     assert batches[1]["query_img"].shape == (1, 64, 64, 3)
 
 
+def test_manifest_limit_truncation(fake_cor_root):
+    """limit= keeps the first N post-filter rows (the working form of the
+    reference's commented debug-truncation, dataloader.py:89,257) — exposed
+    as --limit on the eval/retrieve/index CLIs."""
+    root, csv_path = fake_cor_root
+    ds = CORDataset(
+        csv_path=str(csv_path), dataset_path=str(root), train=False,
+        query_img_size=64, support_img_size=32, context_length=16, limit=2,
+    )
+    assert len(ds) == 2
+    full = CORDataset(
+        csv_path=str(csv_path), dataset_path=str(root), train=False,
+        query_img_size=64, support_img_size=32, context_length=16,
+    )
+    assert list(ds.df["Id"]) == list(full.df["Id"][:2])
+
+
+def test_capitalized_dirs_layout(fake_cor_root, tmp_path):
+    """TestDataset_Single's Image/Mask capitalized layout (reference:
+    utils/dataloader.py:480-484) loads via capitalized_dirs=True."""
+    root, csv_path = fake_cor_root
+    cap_root = tmp_path / "cap_data"
+    ds_dir = root / "Test_1"
+    cap_ds = cap_root / "Test_1"
+    cap_ds.mkdir(parents=True)
+    (ds_dir / "image").rename(cap_ds / "Image")
+    (ds_dir / "mask").rename(cap_ds / "Mask")
+
+    with pytest.raises(FileNotFoundError):
+        CORDataset(
+            csv_path=str(csv_path), dataset_path=str(cap_root), train=False,
+            query_img_size=64, support_img_size=32, context_length=16,
+        )[0]
+    ds = CORDataset(
+        csv_path=str(csv_path), dataset_path=str(cap_root), train=False,
+        query_img_size=64, support_img_size=32, context_length=16,
+        capitalized_dirs=True,
+    )
+    s = ds[0]
+    assert s["query_img"].shape == (64, 64, 3)
+    assert s["support_mask"].shape == (32, 32, 1)
+
+
 def test_train_augmentation_is_applied_and_seeded(fake_cor_root):
     root, csv_path = fake_cor_root
     kw = dict(

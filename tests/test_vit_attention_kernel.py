@@ -90,6 +90,42 @@ def test_encoder_fused_window_indexing_flag_parity(key, rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-4, rtol=3e-4)
 
 
+def test_fused_vit_attention_lane_padded_heads(key, rng):
+    """head_dim 80 (sam_huge: 128 % 80 != 0) engages the lane-pad shim —
+    each head zero-padded to 128 lanes with the TRUE 1/sqrt(80) scale passed
+    explicitly — instead of falling back to XLA. Forward AND gradients must
+    match the oracle (the pad/crop are linear, so autodiff routes the flash
+    backward through them)."""
+    H = W = 8
+    C, heads = 160, 2  # head_dim 80, exactly sam_huge's
+    p = init_attention_2d(key, C, heads, use_rel_pos=True, input_size=(H, W))
+    p["rel_pos_h"] = jnp.asarray(rng.standard_normal((2 * H - 1, C // heads)).astype(np.float32) * 0.3)
+    p["rel_pos_w"] = jnp.asarray(rng.standard_normal((2 * W - 1, C // heads)).astype(np.float32) * 0.3)
+    x = jnp.asarray(rng.standard_normal((2, H, W, C)).astype(np.float32) * 0.5)
+
+    ref = attention_2d(p, x, heads)
+    out = attention_2d_fused(p, x, heads)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4)
+
+    def loss(fn):
+        def g(p, x):
+            o = fn(p, x, heads)
+            return jnp.sum(o * o)
+        return jax.grad(g, argnums=(0, 1))(p, x)
+
+    gp_ref, gx_ref = loss(attention_2d)
+    gp_out, gx_out = loss(attention_2d_fused)
+    np.testing.assert_allclose(np.asarray(gx_out), np.asarray(gx_ref), atol=5e-3, rtol=5e-3)
+    for k in ("qkv", "proj"):
+        np.testing.assert_allclose(
+            np.asarray(gp_out[k]["w"]), np.asarray(gp_ref[k]["w"]), atol=5e-3, rtol=5e-3
+        )
+    for k in ("rel_pos_h", "rel_pos_w"):
+        np.testing.assert_allclose(
+            np.asarray(gp_out[k]), np.asarray(gp_ref[k]), atol=5e-3, rtol=5e-3
+        )
+
+
 def test_fused_vit_attention_fallback_small_dims(key, rng):
     # tiny config (C=32) falls back to the XLA path — must still be exact
     H = W = 4

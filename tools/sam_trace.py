@@ -8,8 +8,14 @@ protocol (per-iteration input perturbation defeats CSE/LICM), reports an
 MXU-efficiency estimate against the analytic forward FLOPs, and optionally
 captures a jax.profiler trace for tools/xplane_agg.py.
 
-Usage: python tools/sam_trace.py [--b 1] [--iters 30] [--trace DIR]
+Usage: python tools/sam_trace.py [--model sam_base|sam_large|sam_huge]
+       [--b 1] [--iters 30] [--trace DIR]
        [--no-fused] (XLA attention instead of the Pallas rel-pos kernel)
+
+sam_large (head_dim 64) runs the fused rel-pos kernel like sam_base;
+sam_huge (head_dim 80: 128 % head_dim != 0) auto-falls back to the XLA
+attention formulation (cor_tpu/ops/attention.py:156) — this tool is how
+that fallback's real-geometry cost is measured.
 """
 
 from __future__ import annotations
@@ -46,6 +52,10 @@ def encoder_forward_flops(cfg, B: int) -> float:
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--model", default="sam_base",
+        choices=("sam_base", "sam_large", "sam_huge"),
+    )
     ap.add_argument("--b", type=int, default=1)
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--trace", default=None)
@@ -70,7 +80,7 @@ def main():
     )
 
     cfg = sam_encoder_config(
-        "sam_base",
+        args.model,
         fused_attention=not args.no_fused,
         remat_blocks=not args.no_remat,
     )
@@ -98,6 +108,7 @@ def main():
     ms = dt / iters * 1e3
     fl = encoder_forward_flops(cfg, B)
     print(json.dumps({
+        "model": args.model,
         "sam_encoder_ms_per_iter": round(ms, 3),
         "batch": B,
         "images_per_sec": round(B * iters / dt, 1),
