@@ -93,31 +93,11 @@ def _kernel_pair(q_ref, k_ref, v_ref, o_ref, *, scale, head_dim):
     o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads",))
-def attention_seq_qkv_pallas(qkv: jax.Array, num_heads: int) -> jax.Array:
-    """Attention straight off the fused-QKV GEMM output.
-
-    qkv: [B, N, 3*C] laid out (q | k | v) with heads contiguous inside each
-    third. Head PAIRS are addressed by 128-lane block index and split
-    in-register — no transposes or copies anywhere. Returns [B, N, C] with
-    heads re-merged in place, ready for the out-projection. Falls back to the
-    transpose formulation when C isn't 128-divisible (tiny test configs).
-    """
-    B, N, C3 = qkv.shape
-    C = C3 // 3
-    D = C // num_heads
-    if C % 128 != 0 or 128 % D != 0:
-        q, k, v = jnp.split(qkv.reshape(B, N, 3, num_heads, D), 3, axis=2)
-
-        def t(x):
-            return x[:, :, 0].transpose(0, 2, 1, 3)
-
-        out = attention_seq_pallas(t(q), t(k), t(v), num_heads)
-        return out.transpose(0, 2, 1, 3).reshape(B, N, C)
-
+def _qkv_pair_call(qkv: jax.Array, C: int, D: int, scale: float) -> jax.Array:
+    B, N, _ = qkv.shape
     P = C // 128
-    out = pl.pallas_call(
-        functools.partial(_kernel_pair, scale=1.0 / (D**0.5), head_dim=D),
+    return pl.pallas_call(
+        functools.partial(_kernel_pair, scale=scale, head_dim=D),
         out_shape=jax.ShapeDtypeStruct((B, N, C), qkv.dtype),
         grid=(B, P),
         in_specs=[
@@ -128,4 +108,54 @@ def attention_seq_qkv_pallas(qkv: jax.Array, num_heads: int) -> jax.Array:
         out_specs=pl.BlockSpec((1, N, 128), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
         interpret=_interpret(),
     )(qkv, qkv, qkv)
-    return out
+
+
+# A/B toggle for the lane-pad path below (SO400M's head_dim 72). Measured
+# on-chip (tools/encode_trace.py --model ViT-SO400M-14-SigLIP-384, Q=16
+# device-loop protocol): lane-pad 120.7 ms/iter vs transpose formulation
+# 107.6 — 12% SLOWER. Unlike the SAM rel-pos kernel (where the lane-pad shim
+# replaced full XLA attention and won 3.0x), the alternative here is already
+# a Pallas kernel; padding 72 -> 128 costs 78% more q.k/AV MXU lanes, which
+# outweighs the [B,H,N,72] transposes it removes. Kept A/B-able for
+# re-measurement on newer Mosaic; parity-tested either way
+# (tests/test_kernel_vjp.py::test_attention_seq_lane_padded_heads_grad).
+LANE_PAD_ODD_HEADS = False
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads",))
+def attention_seq_qkv_pallas(qkv: jax.Array, num_heads: int) -> jax.Array:
+    """Attention straight off the fused-QKV GEMM output.
+
+    qkv: [B, N, 3*C] laid out (q | k | v) with heads contiguous inside each
+    third. Head PAIRS are addressed by 128-lane block index and split
+    in-register — no transposes or copies anywhere. Returns [B, N, C] with
+    heads re-merged in place, ready for the out-projection.
+
+    Heads whose lane width doesn't tile 128 (SO400M: head_dim 72) are
+    zero-padded to 128 lanes per head (q.k over zero lanes adds exactly 0)
+    with the TRUE 1/sqrt(D) scale passed explicitly — the same shim as the
+    SAM rel-pos kernel's. Tiny test configs (C < 128) fall back to the
+    transpose formulation.
+    """
+    B, N, C3 = qkv.shape
+    C = C3 // 3
+    D = C // num_heads
+    pad_heads = 128 % D != 0 and D <= 128 and LANE_PAD_ODD_HEADS
+    if (C % 128 != 0 or 128 % D != 0) and not pad_heads:
+        q, k, v = jnp.split(qkv.reshape(B, N, 3, num_heads, D), 3, axis=2)
+
+        def t(x):
+            return x[:, :, 0].transpose(0, 2, 1, 3)
+
+        out = attention_seq_pallas(t(q), t(k), t(v), num_heads)
+        return out.transpose(0, 2, 1, 3).reshape(B, N, C)
+
+    if pad_heads:
+        Dp = 128
+        qkv_p = jnp.pad(
+            qkv.reshape(B, N, 3, num_heads, D), [(0, 0)] * 4 + [(0, Dp - D)]
+        ).reshape(B, N, 3 * num_heads * Dp)
+        out = _qkv_pair_call(qkv_p, num_heads * Dp, Dp, scale=1.0 / (D**0.5))
+        return out.reshape(B, N, num_heads, Dp)[..., :D].reshape(B, N, C)
+
+    return _qkv_pair_call(qkv, C, D, scale=1.0 / (D**0.5))

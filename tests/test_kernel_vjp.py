@@ -109,6 +109,42 @@ def test_attention_seq_grad_matches_oracle(key, rng):
     _tree_allclose(g_fused, g_oracle, atol=1e-5, rtol=1e-5)
 
 
+def test_attention_seq_lane_padded_heads_grad(key, rng, monkeypatch):
+    """head_dim 72 (SO400M: 128 % 72 != 0) through the seq kernel's lane-pad
+    shim — heads zero-padded to 128 lanes with the true 1/sqrt(72) scale.
+    The shim is OFF by default (measured 12% slower than the transpose
+    formulation on-chip, see seq_attention.LANE_PAD_ODD_HEADS) but stays
+    parity-proven here so the A/B toggle is safe to flip."""
+    from cor_tpu.ops.pallas import seq_attention
+
+    monkeypatch.setattr(seq_attention, "LANE_PAD_ODD_HEADS", True)
+    p = init_attention_seq(key, 144)  # heads=2 -> head_dim 72
+    x = jnp.asarray(rng.standard_normal((2, 16, 144)).astype(np.float32) * 0.3)
+
+    def oracle(p, x):
+        from cor_tpu.ops.common import dense
+
+        qkv = dense(p["qkv"], x)
+        C = qkv.shape[-1] // 3
+        q, k, v = qkv[..., :C], qkv[..., C : 2 * C], qkv[..., 2 * C :]
+        return dense(p["proj"], attention_heads(q, k, v, 2))
+
+    np.testing.assert_allclose(
+        np.asarray(attention_seq(p, x, 2)), np.asarray(oracle(p, x)),
+        atol=1e-5, rtol=1e-5,
+    )
+
+    def loss_fused(p, x):
+        return jnp.sum(jnp.tanh(attention_seq(p, x, 2)))
+
+    def loss_oracle(p, x):
+        return jnp.sum(jnp.tanh(oracle(p, x)))
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1))(p, x)
+    g_oracle = jax.grad(loss_oracle, argnums=(0, 1))(p, x)
+    _tree_allclose(g_fused, g_oracle, atol=1e-5, rtol=1e-5)
+
+
 def test_attention_2d_fused_grad_global(key, rng):
     # C=128, heads=2 (head_dim 64) with rel-pos tables -> the kernel path
     p = init_attention_2d(key, 128, 2, use_rel_pos=True, input_size=(8, 8))

@@ -32,6 +32,10 @@ def main():
                     help="time the FULL fine-tune step (freeze_towers=False: "
                          "backward through SAM encoder + SigLIP via the "
                          "kernels' oracle-VJP custom_vjps)")
+    ap.add_argument("--sam", default="sam_base",
+                    choices=("sam_base", "sam_large", "sam_huge"),
+                    help="SAM encoder size (sam_huge exercises the lane-pad "
+                         "shim's flash backward at head_dim 80)")
     args = ap.parse_args()
 
     import jax
@@ -112,7 +116,7 @@ def main():
         return out
 
     base = CoreConfig(
-        sam_model="sam_base",
+        sam_model=args.sam,
         siglip_model="ViT-B-16-SigLIP-384",
         mask_pooling="MaskAdapterPooling",
         multimask_output=False,
