@@ -116,6 +116,10 @@ class CORDataset:
 
     def __post_init__(self):
         self.df = load_manifest(self.csv_path)
+        if self.limit is not None and self.limit < 1:
+            # iloc[:-N] would silently keep all-but-the-last-N rows — the
+            # opposite of the documented "first N" debug truncation
+            raise ValueError(f"limit must be a positive row count, got {self.limit}")
         if self.limit:
             self.df = self.df.iloc[: self.limit]
         self.tokenizer = get_tokenizer(self.tokenizer_path, self.context_length)

@@ -251,24 +251,19 @@ def _attention_2d_fused_impl(
     eh = (jnp.arange(Hp)[:, None] == rows[None, :]).astype(jnp.float32)
     ew = (jnp.arange(Wp)[:, None] == cols[None, :]).astype(jnp.float32)
 
-    kd = head_dim
     if pad_heads:
         # lane-pad each head to 128 so the kernel's 128-lane head addressing
-        # engages (sam_huge: head_dim 80). q.k over the zero lanes adds
-        # exactly 0 and the kcat column-mean of a zero column is 0, so the
-        # math is exact; the TRUE softmax scale rides the explicit scale arg
-        # (the kernel's default would read the padded width). The pad/crop
-        # are linear, so autodiff routes the flash backward through them.
-        kd = 128
-        qkv = jnp.pad(
-            qkv.reshape(B, N, 3, num_heads, head_dim),
-            [(0, 0)] * 4 + [(0, kd - head_dim)],
-        ).reshape(B, N, 3 * num_heads * kd)
+        # engages (sam_huge: head_dim 80) — exactness + scale/backward story
+        # in cor_tpu.ops.pallas.lane_pad; the kcat column-mean of a zero
+        # column is 0, so the kernel's mean shift stays exact too
+        from cor_tpu.ops.pallas.lane_pad import crop_heads, pad_qkv_heads
+
+        qkv = pad_qkv_heads(qkv, num_heads, head_dim)
     out = vit_attention_relpos_pallas(
         qkv, rel_h, rel_w, eh, ew, num_heads, scale=head_dim**-0.5
     )
-    if kd != head_dim:
-        out = out.reshape(B, N, num_heads, kd)[..., :head_dim].reshape(B, N, C)
+    if pad_heads:
+        out = crop_heads(out, num_heads, head_dim)
     return dense(p["proj"], out.reshape(B, H, W, C))
 
 

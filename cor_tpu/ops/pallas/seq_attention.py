@@ -117,8 +117,8 @@ def _qkv_pair_call(qkv: jax.Array, C: int, D: int, scale: float) -> jax.Array:
 # replaced full XLA attention and won 3.0x), the alternative here is already
 # a Pallas kernel; padding 72 -> 128 costs 78% more q.k/AV MXU lanes, which
 # outweighs the [B,H,N,72] transposes it removes. Kept A/B-able for
-# re-measurement on newer Mosaic; parity-tested either way
-# (tests/test_kernel_vjp.py::test_attention_seq_lane_padded_heads_grad).
+# re-measurement on newer Mosaic; forward-parity-tested either way
+# (tests/test_kernel_vjp.py::test_attention_seq_lane_padded_heads).
 LANE_PAD_ODD_HEADS = False
 
 
@@ -151,11 +151,12 @@ def attention_seq_qkv_pallas(qkv: jax.Array, num_heads: int) -> jax.Array:
         return out.transpose(0, 2, 1, 3).reshape(B, N, C)
 
     if pad_heads:
-        Dp = 128
-        qkv_p = jnp.pad(
-            qkv.reshape(B, N, 3, num_heads, D), [(0, 0)] * 4 + [(0, Dp - D)]
-        ).reshape(B, N, 3 * num_heads * Dp)
-        out = _qkv_pair_call(qkv_p, num_heads * Dp, Dp, scale=1.0 / (D**0.5))
-        return out.reshape(B, N, num_heads, Dp)[..., :D].reshape(B, N, C)
+        from cor_tpu.ops.pallas.lane_pad import crop_heads, pad_qkv_heads
+
+        out = _qkv_pair_call(
+            pad_qkv_heads(qkv, num_heads, D), num_heads * 128, 128,
+            scale=1.0 / (D**0.5),
+        )
+        return crop_heads(out, num_heads, D)
 
     return _qkv_pair_call(qkv, C, D, scale=1.0 / (D**0.5))

@@ -82,6 +82,28 @@ def encode_manifest(
     )
 
 
+def _make_decode_retriever(cfg, params, store, no_mask_embed=None):
+    """Shared rerank wiring for both protocol entry points: returns a
+    make_retrieve(engine) that arms the engine's sharded store decode
+    (``store`` is either the pre-quantized pair from
+    encode_manifest(keep_store=True) — no_mask already baked — or a raw
+    mmap'd array, in which case ``no_mask_embed`` is baked at int8
+    quantization time) and retrieves by decoder-IoU rank."""
+    from cor_tpu.models.core_model import _cast
+    from cor_tpu.models.prompt_encoder import get_dense_pe
+
+    dec_params = _cast(params["mask_decoder"], cfg.dtype)
+    image_pe = get_dense_pe(
+        _cast(params["prompt_encoder"], cfg.dtype), cfg.prompt
+    ).astype(cfg.dtype)
+
+    def make_retrieve(engine):
+        engine.enable_store_decode(cfg.decoder, store, no_mask_embed=no_mask_embed)
+        return lambda q: engine.retrieve_decode(q, dec_params, image_pe)[2]
+
+    return make_retrieve
+
+
 def _scan_recall(
     mesh, gallery, queries, targets, ks, query_batch, make_retrieve=None
 ) -> Dict[str, float]:
@@ -133,22 +155,9 @@ def evaluate_retrieval(
         cfg, params, loader, keep_store=rerank
     )
     targets = np.arange(gallery.shape[0])
-    make_retrieve = None
-    if rerank:
-        from cor_tpu.models.core_model import _cast
-        from cor_tpu.models.prompt_encoder import get_dense_pe
-
-        dec_params = _cast(params["mask_decoder"], cfg.dtype)
-        image_pe = get_dense_pe(
-            _cast(params["prompt_encoder"], cfg.dtype), cfg.prompt
-        ).astype(cfg.dtype)
-
-        def make_retrieve(engine):
-            # store is the already-quantized (q, scales) pair — the dense
-            # no-mask prompt was baked in batch-by-batch by encode_manifest
-            engine.enable_store_decode(cfg.decoder, store)
-            return lambda q: engine.retrieve_decode(q, dec_params, image_pe)[2]
-
+    # store is the already-quantized (q, scales) pair — the dense no-mask
+    # prompt was baked in batch-by-batch by encode_manifest
+    make_retrieve = _make_decode_retriever(cfg, params, store) if rerank else None
     return _scan_recall(
         mesh, gallery, queries, targets, ks, query_batch, make_retrieve
     )
@@ -210,21 +219,12 @@ def evaluate_retrieval_with_index(
                 "rerank needs the SAM image-embedding store in the gallery "
                 "index — rebuild it with `cor_tpu.cli.index --with-store`"
             )
-        from cor_tpu.models.core_model import _cast
-        from cor_tpu.models.prompt_encoder import get_dense_pe
-
-        dec_params = _cast(params["mask_decoder"], cfg.dtype)
-        image_pe = get_dense_pe(
-            _cast(params["prompt_encoder"], cfg.dtype), cfg.prompt
-        ).astype(cfg.dtype)
-        no_mask = np.asarray(params["prompt_encoder"]["no_mask_embed"][0])
-
-        def make_retrieve(engine):
-            engine.enable_store_decode(
-                cfg.decoder, index["store"], no_mask_embed=no_mask
-            )
-            return lambda q: engine.retrieve_decode(q, dec_params, image_pe)[2]
-
+        # the artifact's store is raw mmap'd fp16: the dense no-mask prompt
+        # is baked in during its chunk-by-chunk int8 quantization
+        make_retrieve = _make_decode_retriever(
+            cfg, params, index["store"],
+            no_mask_embed=np.asarray(params["prompt_encoder"]["no_mask_embed"][0]),
+        )
     return _scan_recall(
         mesh, gallery, queries, targets, ks, query_batch, make_retrieve
     )

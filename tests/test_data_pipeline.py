@@ -108,6 +108,14 @@ def test_manifest_limit_truncation(fake_cor_root):
         query_img_size=64, support_img_size=32, context_length=16,
     )
     assert list(ds.df["Id"]) == list(full.df["Id"][:2])
+    # a negative limit would silently become iloc[:-N] (keep all but the
+    # last N) — the opposite of the documented truncation; it must raise
+    with pytest.raises(ValueError, match="positive row count"):
+        CORDataset(
+            csv_path=str(csv_path), dataset_path=str(root), train=False,
+            query_img_size=64, support_img_size=32, context_length=16,
+            limit=-5,
+        )
 
 
 def test_capitalized_dirs_layout(fake_cor_root, tmp_path):

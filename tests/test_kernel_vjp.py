@@ -109,16 +109,28 @@ def test_attention_seq_grad_matches_oracle(key, rng):
     _tree_allclose(g_fused, g_oracle, atol=1e-5, rtol=1e-5)
 
 
-def test_attention_seq_lane_padded_heads_grad(key, rng, monkeypatch):
+def test_attention_seq_lane_padded_heads(key, rng, monkeypatch):
     """head_dim 72 (SO400M: 128 % 72 != 0) through the seq kernel's lane-pad
     shim — heads zero-padded to 128 lanes with the true 1/sqrt(72) scale.
     The shim is OFF by default (measured 12% slower than the transpose
-    formulation on-chip, see seq_attention.LANE_PAD_ODD_HEADS) but stays
-    parity-proven here so the A/B toggle is safe to flip."""
+    formulation on-chip, see seq_attention.LANE_PAD_ODD_HEADS) but its
+    FORWARD stays parity-proven at the kernel level so the A/B toggle is
+    safe to flip. (No gradient assertion: attention_seq's backward is the
+    XLA oracle's VJP by construction — with_oracle_vjp — so a grad
+    comparison against the same oracle would be tautological; the grad call
+    below only smoke-checks that autodiff plumbs through the pad path.)"""
+    from cor_tpu.ops.attention import attention_seq_qkv_xla
     from cor_tpu.ops.pallas import seq_attention
 
     monkeypatch.setattr(seq_attention, "LANE_PAD_ODD_HEADS", True)
-    p = init_attention_seq(key, 144)  # heads=2 -> head_dim 72
+    # kernel-level forward parity: the padded pair kernel vs the XLA oracle
+    qkv = jnp.asarray(rng.standard_normal((2, 16, 3 * 144)).astype(np.float32) * 0.3)
+    out = seq_attention.attention_seq_qkv_pallas(qkv, 2)  # head_dim 72
+    ref = attention_seq_qkv_xla(qkv, 2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+    # module-level forward + a grad smoke through the custom_vjp wrapper
+    p = init_attention_seq(key, 144)
     x = jnp.asarray(rng.standard_normal((2, 16, 144)).astype(np.float32) * 0.3)
 
     def oracle(p, x):
@@ -133,16 +145,8 @@ def test_attention_seq_lane_padded_heads_grad(key, rng, monkeypatch):
         np.asarray(attention_seq(p, x, 2)), np.asarray(oracle(p, x)),
         atol=1e-5, rtol=1e-5,
     )
-
-    def loss_fused(p, x):
-        return jnp.sum(jnp.tanh(attention_seq(p, x, 2)))
-
-    def loss_oracle(p, x):
-        return jnp.sum(jnp.tanh(oracle(p, x)))
-
-    g_fused = jax.grad(loss_fused, argnums=(0, 1))(p, x)
-    g_oracle = jax.grad(loss_oracle, argnums=(0, 1))(p, x)
-    _tree_allclose(g_fused, g_oracle, atol=1e-5, rtol=1e-5)
+    g = jax.grad(lambda p, x: jnp.sum(jnp.tanh(attention_seq(p, x, 2))), argnums=1)(p, x)
+    assert np.isfinite(np.asarray(g)).all()
 
 
 def test_attention_2d_fused_grad_global(key, rng):
