@@ -95,6 +95,7 @@ def main(argv=None):
     tx, schedule = make_optimizer(
         params, cfg.optimizer, cfg.lr, cfg.lr_scheduler, cfg.epoch, cfg.gradient_clip,
         freeze_towers=cfg.freeze_towers,
+        lr_decay_rate=cfg.lr_decay_rate, lr_decay_epoch=cfg.lr_decay_epoch,
     )
     mask = trainable_mask(params, cfg.freeze_towers)
     logger.info(

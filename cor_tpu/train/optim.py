@@ -7,7 +7,9 @@ Parity targets:
 - schedulers {CosineAnnealingLR, CosineAnnealingWarmRestarts,
   timm CosineLRScheduler with 5-epoch warmup, ExponentialLR, None}
   (reference: my_train_a.py:141-173) — realized as optax schedules stepped
-  per-epoch exactly like the reference's `scheduler.step(epoch)`.
+  per-epoch exactly like the reference's `scheduler.step(epoch)` — plus
+  StepLR/adjust_lr exposing the reference's defined-but-uncalled step decay
+  (utils/utils.py:136-139).
 - gradient value-clipping (NOT norm clipping): the reference's clip_gradient
   clamps each gradient element to [-clip, clip] (reference: utils/utils.py:121-133).
 - parameter freezing via requires_grad filtering (reference:
@@ -104,6 +106,7 @@ def make_lr_schedule(
     base_lr: float,
     epochs: int,
     lr_decay_rate: float = 0.1,
+    lr_decay_epoch: int = 50,
 ) -> Callable[[jax.Array], jax.Array]:
     """Returns lr(epoch). Epoch indexing matches the reference's
     `scheduler.step(epoch)` with epochs starting at 1 (my_train_a.py:252-259).
@@ -140,6 +143,14 @@ def make_lr_schedule(
     def exponential(epoch):
         return base_lr * (0.95**epoch)  # reference gamma=0.95 (my_train_a.py:168)
 
+    def step_decay(epoch):
+        # adjust_lr(optimizer, init_lr, epoch, decay_rate, decay_epoch)
+        # (reference utils/utils.py:136-139, fed by train_config_m3.yaml's
+        # lr_decay_rate/lr_decay_epoch; defined-but-uncalled in the reference
+        # loop — exposed here as a selectable scheduler)
+        e = jnp.asarray(epoch, jnp.int32)
+        return base_lr * lr_decay_rate ** jnp.asarray(e // lr_decay_epoch, jnp.float32)
+
     if name == "CosineAnnealingLR":
         return cosine
     if name == "CosineAnnealingWarmRestarts":
@@ -148,6 +159,10 @@ def make_lr_schedule(
         return timm_cosine
     if name == "ExponentialLR":
         return exponential
+    if name in ("StepLR", "adjust_lr"):
+        if lr_decay_epoch <= 0:
+            raise ValueError(f"StepLR needs lr_decay_epoch > 0, got {lr_decay_epoch}")
+        return step_decay
     if name in ("None", "none", ""):
         return lambda epoch: jnp.asarray(base_lr, jnp.float32)
     raise ValueError(f"Unknown lr_scheduler: {name}")
@@ -167,13 +182,15 @@ def make_optimizer(
     gradient_clip: float = 0.5,
     weight_decay: float = 1e-2,
     freeze_towers: bool = True,
+    lr_decay_rate: float = 0.1,
+    lr_decay_epoch: int = 50,
 ) -> tuple[optax.GradientTransformation, Callable]:
     """Returns (tx, lr_schedule). The transformation expects an `epoch` value
     injected via optax.inject_hyperparams-style state: we use a schedule on a
     step counter that the trainer maps to epochs (one optimizer "scale" per
     update, using the current epoch's LR like the reference).
     """
-    schedule = make_lr_schedule(lr_scheduler, lr, epochs)
+    schedule = make_lr_schedule(lr_scheduler, lr, epochs, lr_decay_rate, lr_decay_epoch)
 
     if optimizer == "AdamW":
         base = optax.inject_hyperparams(

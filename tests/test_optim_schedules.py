@@ -79,6 +79,18 @@ def test_timm_cosine_semantics():
     np.testing.assert_allclose(float(alias(7)), float(ours(7)))
 
 
+def test_step_decay_matches_reference_adjust_lr():
+    """adjust_lr (reference utils/utils.py:136-139): lr = init_lr *
+    decay_rate ** (epoch // decay_epoch), with train_config_m3.yaml's
+    lr_decay_rate=0.1 / lr_decay_epoch=50."""
+    ours = make_lr_schedule("StepLR", LR, EPOCHS, lr_decay_rate=0.1, lr_decay_epoch=5)
+    for e in range(0, 16):
+        want = LR * 0.1 ** (e // 5)
+        np.testing.assert_allclose(float(ours(e)), want, rtol=1e-6)
+    alias = make_lr_schedule("adjust_lr", LR, EPOCHS, lr_decay_rate=0.5, lr_decay_epoch=3)
+    np.testing.assert_allclose(float(alias(7)), LR * 0.5**2, rtol=1e-6)
+
+
 def test_none_schedule_constant():
     ours = make_lr_schedule("None", LR, EPOCHS)
     assert float(ours(1)) == float(ours(15))
