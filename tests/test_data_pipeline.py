@@ -93,6 +93,30 @@ def test_cor_dataset_shapes_and_loader(fake_cor_root):
     assert batches[1]["query_img"].shape == (1, 64, 64, 3)
 
 
+def test_loader_surfaces_worker_errors(fake_cor_root, tmp_path):
+    """A sample that fails to load inside a prefetch worker thread must
+    propagate to the consuming iterator (and thence to a non-zero CLI exit),
+    never hang the queue or silently end the epoch early."""
+    import shutil
+
+    root, csv_path = fake_cor_root
+    broken_root = tmp_path / "broken"
+    shutil.copytree(root, broken_root)
+    for victim in (broken_root / "Test_1" / "image").glob("q*.jpg"):
+        victim.unlink()
+    ds = CORDataset(
+        csv_path=str(csv_path),
+        dataset_path=str(broken_root),
+        train=False,
+        query_img_size=64,
+        support_img_size=32,
+        context_length=16,
+    )
+    loader = DataLoader(ds, batch_size=2, shuffle=False, num_workers=2)
+    with pytest.raises(FileNotFoundError):
+        list(loader)
+
+
 def test_manifest_limit_truncation(fake_cor_root):
     """limit= keeps the first N post-filter rows (the working form of the
     reference's commented debug-truncation, dataloader.py:89,257) — exposed
