@@ -24,6 +24,55 @@ import json
 import sys
 
 
+def process_lines(server, raw_lines):
+    """One serving tick: parse a drained batch of JSON lines, answer the
+    well-formed requests with ONE ``handle_batch`` call, and return responses
+    in input order (parse failures become error responses in their own slot;
+    a whole-batch dispatch failure falls back to per-request handling so one
+    poisoned request cannot take down its batchmates)."""
+
+    def _error_resp(line, e):
+        resp = {"id": None, "error": f"{type(e).__name__}: {e}"}
+        try:
+            parsed = json.loads(line)
+            if isinstance(parsed, dict):
+                resp["id"] = parsed.get("id")
+        except Exception:
+            pass
+        return resp
+
+    entries = []  # (kind, payload) per non-empty line, order preserved
+    for raw in raw_lines:
+        raw = raw.strip()
+        if not raw:
+            continue
+        try:
+            req = json.loads(raw)
+            if not isinstance(req, dict):
+                raise ValueError("request must be a JSON object")
+            entries.append(("req", req))
+        except Exception as e:
+            entries.append(("err", _error_resp(raw, e)))
+    reqs = [payload for kind, payload in entries if kind == "req"]
+    try:
+        batch_resps = iter(server.handle_batch(reqs))
+    except Exception as e:  # whole-batch failure: retry one by one
+        logging.getLogger("cor_tpu.serve").warning(
+            "batch dispatch failed (%s: %s); retrying requests singly",
+            type(e).__name__, e,
+        )
+
+        def _single(r):
+            try:
+                return server.handle(r)
+            except Exception as ee:
+                return {"id": r.get("id"), "error": f"{type(ee).__name__}: {ee}"}
+
+        batch_resps = iter([_single(r) for r in reqs])
+    return [payload if kind == "err" else next(batch_resps)
+            for kind, payload in entries]
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="cor_tpu retrieval server")
     parser.add_argument("--config", required=True)
@@ -44,6 +93,12 @@ def main(argv=None):
                              "instead of host-streaming rows per request")
     parser.add_argument("--self-test", type=int, default=0, metavar="N",
                         help="serve N synthetic requests and exit (smoke mode)")
+    parser.add_argument("--max-batch", type=int, default=1, metavar="B",
+                        help="micro-batch up to B already-queued requests "
+                             "into one encode/scan/decode dispatch (power-of-"
+                             "two buckets; latency of an isolated request is "
+                             "unchanged — batching only engages when requests "
+                             "are waiting)")
     args = parser.parse_args(argv)
 
     import jax
@@ -93,27 +148,50 @@ def main(argv=None):
         tokenizer_path=cfg.tokenizer_path,
         store_hbm=args.store_hbm,
     )
-    server.warmup()
+    max_batch = max(1, args.max_batch)
+    buckets = [1]
+    while buckets[-1] < max_batch:
+        buckets.append(buckets[-1] * 2)
+    server.warmup(batch_buckets=buckets)
 
     if args.self_test:
-        for i in range(args.self_test):
-            print(json.dumps(server.handle({"id": i, "synthetic": i})), flush=True)
+        for start in range(0, args.self_test, max_batch):
+            reqs = [{"id": i, "synthetic": i}
+                    for i in range(start, min(start + max_batch, args.self_test))]
+            for resp in server.handle_batch(reqs):
+                print(json.dumps(resp), flush=True)
         return
 
-    for line in sys.stdin:
-        line = line.strip()
-        if not line:
-            continue
-        try:
-            req = json.loads(line)
-            resp = server.handle(req)
-        except Exception as e:  # a malformed request must not kill the server
-            resp = {"id": None, "error": f"{type(e).__name__}: {e}"}
+    # stdin is drained by a reader thread into a queue so the serving loop
+    # can micro-batch every request that queued while the previous batch was
+    # on-device — select() on a buffered stdin misses lines Python already
+    # consumed, a thread + queue does not
+    import queue
+    import threading
+
+    lines: "queue.Queue" = queue.Queue()
+    def _reader():
+        for raw in sys.stdin:
+            lines.put(raw)
+        lines.put(None)  # EOF sentinel
+    threading.Thread(target=_reader, daemon=True).start()
+
+    eof = False
+    while not eof:
+        batch_raw = [lines.get()]
+        if batch_raw[0] is None:
+            break
+        while len(batch_raw) < max_batch:
             try:
-                resp["id"] = json.loads(line).get("id")
-            except Exception:
-                pass
-        print(json.dumps(resp), flush=True)
+                nxt = lines.get_nowait()
+            except queue.Empty:
+                break
+            if nxt is None:
+                eof = True
+                break
+            batch_raw.append(nxt)
+        for resp in process_lines(server, batch_raw):
+            print(json.dumps(resp), flush=True)
 
 
 if __name__ == "__main__":

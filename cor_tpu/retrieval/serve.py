@@ -141,46 +141,121 @@ class RetrievalServer:
 
     # -- request handling ----------------------------------------------------
 
+    def _assemble(self, request: Dict):
+        """Request dict -> (support_img, support_mask, text_ids) host arrays.
+        Raises on malformed requests."""
+        if "synthetic" in request:
+            return self._synthetic_query(request["synthetic"])
+        return self._file_query(request)
+
     def handle(self, request: Dict, save_masks: bool = True) -> Dict:
         """One request -> one response dict. Raises on malformed requests;
         the CLI loop converts that into an error response. ``save_masks``
         is the out-of-band warmup switch (decode compiles/executes, nothing
         is written) — NOT an in-band magic id, which an untrusted client
         could collide with."""
+        assembled = self._assemble(request)
+        return self._respond_batch([request], [assembled], save_masks)[0]
+
+    def handle_batch(self, requests: List[Dict], save_masks: bool = True) -> List[Dict]:
+        """N requests -> N responses (order preserved) with ONE encode, ONE
+        gallery scan, and ONE candidate-mask decode dispatch for the whole
+        batch. Dispatch count — the dominant per-request cost on a relay-
+        attached chip, and underutilized MXU tiles at Q=1 on any chip — is
+        amortized across the batch; arrays are padded to power-of-two buckets
+        so compiled shapes stay few. A malformed request yields an error
+        response for that slot without failing its batchmates."""
+        assembled, errors = [], {}
+        good_requests = []
+        for slot, req in enumerate(requests):
+            try:
+                assembled.append(self._assemble(req))
+                good_requests.append(req)
+            except Exception as e:  # isolate per-request assembly failures
+                rid = req.get("id") if isinstance(req, dict) else None
+                errors[slot] = {"id": rid, "error": f"{type(e).__name__}: {e}"}
+        good = iter(
+            self._respond_batch(good_requests, assembled, save_masks)
+            if assembled else []
+        )
+        return [errors[s] if s in errors else next(good) for s in range(len(requests))]
+
+    @staticmethod
+    def _bucket(n: int) -> int:
+        b = 1
+        while b < n:
+            b *= 2
+        return b
+
+    def _respond_batch(self, requests, assembled, save_masks: bool) -> List[Dict]:
         import jax.numpy as jnp
 
-        if "synthetic" in request:
-            s_img, s_mask, text_ids = self._synthetic_query(request["synthetic"])
-        else:
-            s_img, s_mask, text_ids = self._file_query(request)
-
-        q = self.encode_query(
-            self.params,
-            jnp.asarray(s_img)[None],
-            jnp.asarray(text_ids)[None],
-            jnp.asarray(s_mask)[None],
-        )  # [1, D]
+        B = len(assembled)
+        Bp = self._bucket(B)
+        # pad by repeating the first row: keeps values in-distribution and
+        # every compiled shape a power of two
+        rows = assembled + [assembled[0]] * (Bp - B)
+        imgs = jnp.asarray(np.stack([r[0] for r in rows]))
+        masks = jnp.asarray(np.stack([r[1] for r in rows]))
+        texts = jnp.asarray(np.stack([r[2] for r in rows]))
+        q = self.encode_query(self.params, imgs, texts, masks)  # [Bp, D]
         scores, idx = self.engine.retrieve(q)
-        scores = np.asarray(scores)[0, : self.k]
-        idx = np.asarray(idx)[0, : self.k]
+        scores = np.asarray(scores)[:B, : self.k]
+        idx = np.asarray(idx)[:B, : self.k]
 
-        resp: Dict = {
-            "id": request.get("id"),
-            "results": [
-                {"pair_id": int(self.pair_ids[i]), "score": float(s)}
-                for i, s in zip(idx, scores)
-            ],
-        }
+        resps: List[Dict] = []
+        for b, req in enumerate(requests):
+            resps.append({
+                "id": req.get("id"),
+                "results": [
+                    {"pair_id": int(self.pair_ids[i]), "score": float(s)}
+                    for i, s in zip(idx[b], scores[b])
+                ],
+            })
         if self._decode is not None or self._decode_hbm is not None:
-            resp["masks"] = self._decode_masks(
-                request.get("id"), idx, q, save=save_masks
-            )
-        return resp
+            logits = self._decode_logits_batch(idx, q[:B])  # [B, k, 4g, 4g]
+            for b, resp in enumerate(resps):
+                resp["masks"] = self._save_masks(
+                    requests[b].get("id"), idx[b], logits[b], save=save_masks
+                )
+        return resps
 
-    def _decode_masks(self, req_id, idx: np.ndarray, q, save: bool = True) -> List[str]:
+    def _decode_logits_batch(self, idx: np.ndarray, q) -> np.ndarray:
+        """[B, k] candidate rows + [B, D] query feats -> mask logits
+        [B, k, 4g, 4g], decoded in ONE dispatch (flattened to B*k candidates,
+        padded to a power-of-two bucket)."""
         import jax.numpy as jnp
+
+        B, k = idx.shape
+        n = B * k
+        npad = self._bucket(n)
+        flat_idx = np.concatenate([idx.reshape(-1), np.full(npad - n, idx[0, 0])])
+        feats = jnp.repeat(q, k, axis=0)  # [B*k, D]
+        feats = jnp.concatenate(
+            [feats, jnp.broadcast_to(feats[:1], (npad - n, feats.shape[1]))]
+        )
+        if self._decode_hbm is not None:
+            # store-indexed decode straight out of the HBM-resident int8 store
+            logits = np.asarray(
+                self._decode_hbm(
+                    self.params, self._store_q, self._store_scales,
+                    jnp.asarray(flat_idx.astype(np.int32)), feats,
+                )
+            )  # [npad, 1, 4g, 4g]
+        else:
+            # host-streamed: gather the mmap'd fp16 rows, ship, decode
+            cand = jnp.asarray(np.asarray(self.store[flat_idx], np.float32))
+            logits = np.asarray(self._decode(self.params, cand, feats))
+        return logits[:n, 0].reshape(B, k, *logits.shape[2:])
+
+    def _save_masks(self, req_id, idx: np.ndarray, logits: np.ndarray,
+                    save: bool = True) -> List[str]:
+        """Binarize + write one PNG per retrieved candidate for one request.
+        ``logits`` is [k, 4g, 4g] (already decoded)."""
         from PIL import Image
 
+        if not save:  # warmup: compile + execute, write nothing
+            return []
         self.decode_dir.mkdir(parents=True, exist_ok=True)
         # request ids come from UNTRUSTED client JSON: reduce to a filename-
         # safe token (no separators -> no path traversal out of decode_dir);
@@ -191,34 +266,25 @@ class RetrievalServer:
         if req_id is None or not safe_id:
             self._anon_requests += 1
             safe_id = f"req{self._anon_requests}"
-        feats = jnp.broadcast_to(q, (len(idx), q.shape[1]))
-        if self._decode_hbm is not None:
-            # store-indexed decode straight out of the HBM-resident int8 store
-            logits = np.asarray(
-                self._decode_hbm(
-                    self.params, self._store_q, self._store_scales,
-                    jnp.asarray(idx.astype(np.int32)), feats,
-                )
-            )  # [K, 1, 4g, 4g]
-        else:
-            # host-streamed: gather the mmap'd fp16 rows, ship, decode
-            cand = jnp.asarray(np.asarray(self.store[idx], np.float32))  # [K, g, g, C]
-            logits = np.asarray(self._decode(self.params, cand, feats))  # [K, 1, 4g, 4g]
-        if not save:  # warmup: compile + execute, write nothing
-            return []
         paths = []
         for j, gallery_row in enumerate(idx):
-            m = ((1 / (1 + np.exp(-logits[j, 0]))) > 0.5).astype(np.uint8) * 255
+            m = ((1 / (1 + np.exp(-logits[j]))) > 0.5).astype(np.uint8) * 255
             p = self.decode_dir / f"{safe_id}_{int(self.pair_ids[gallery_row])}.png"
             Image.fromarray(m, "L").save(p)
             paths.append(str(p))
         return paths
 
-    def warmup(self) -> None:
-        """Compile every jitted callable on a synthetic request so the first
-        real request pays no compile latency."""
-        self.handle({"id": "warmup", "synthetic": 0}, save_masks=False)
-        log.info("RetrievalServer warm: gallery=%d k=%d decode=%s",
+    def warmup(self, batch_buckets=(1,)) -> None:
+        """Compile every jitted callable on synthetic requests so the first
+        real request pays no compile latency. ``batch_buckets`` lists the
+        power-of-two batch sizes to pre-compile (the CLI passes every bucket
+        up to its --max-batch)."""
+        for b in batch_buckets:
+            self.handle_batch(
+                [{"id": "warmup", "synthetic": i} for i in range(b)],
+                save_masks=False,
+            )
+        log.info("RetrievalServer warm: gallery=%d k=%d decode=%s buckets=%s",
                  len(self.pair_ids), self.k,
                  "hbm-int8" if self._decode_hbm is not None
-                 else self._decode is not None)
+                 else self._decode is not None, list(batch_buckets))

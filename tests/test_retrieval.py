@@ -469,3 +469,117 @@ def test_retrieval_server_end_to_end(key, tmp_path):
     # store_hbm without decode_dir would silently do nothing -> loud failure
     with pytest.raises(ValueError, match="store_hbm"):
         RetrievalServer(cfg, params, index, k=4, store_hbm=True)
+
+
+def test_retrieval_server_handle_batch(key, tmp_path):
+    """Micro-batched serving: handle_batch must return, in order, exactly what
+    per-request handle returns (one encode/scan/decode dispatch for the whole
+    batch instead of N), pad odd batch sizes to power-of-two buckets, and
+    isolate a malformed request to an error in its own slot."""
+    from PIL import Image
+
+    from cor_tpu.cli.index import build_index
+    from cor_tpu.data.pipeline import DataLoader, SyntheticDataset
+    from cor_tpu.retrieval.index import load_gallery_index, save_gallery_index
+    from cor_tpu.retrieval.serve import RetrievalServer
+
+    cfg = tiny_core_config()
+    params = init_core_model(key, cfg)
+    ds = SyntheticDataset(
+        length=10, query_img_size=64, support_img_size=32,
+        context_length=8, vocab_size=64, seed=5,
+    )
+    emb, ids, store = build_index(
+        cfg, params, DataLoader(ds, batch_size=5), with_store=True
+    )
+    save_gallery_index(tmp_path / "idx", emb, ids, image_embeddings=store)
+    index = load_gallery_index(tmp_path / "idx")
+
+    server = RetrievalServer(
+        cfg, params, index, k=3, decode_dir=str(tmp_path / "pred")
+    )
+    server.warmup(batch_buckets=(1, 4))
+
+    reqs = [{"id": f"b{i}", "synthetic": i} for i in range(3)]  # odd: pads to 4
+    batch = server.handle_batch(reqs)
+    singles = [server.handle(dict(r, id=f"s{i}")) for i, r in enumerate(reqs)]
+    assert len(batch) == 3
+    for b, s in zip(batch, singles):
+        assert [r["pair_id"] for r in b["results"]] == [
+            r["pair_id"] for r in s["results"]
+        ]
+        for rb, rs in zip(b["results"], s["results"]):
+            assert abs(rb["score"] - rs["score"]) < 1e-5
+        # decoded masks must agree pixel-for-pixel with the single-request path
+        assert len(b["masks"]) == len(s["masks"]) == 3
+        for pb, ps in zip(b["masks"], s["masks"]):
+            mb = np.asarray(Image.open(pb))
+            ms = np.asarray(Image.open(ps))
+            assert np.array_equal(mb, ms)
+
+    # malformed request in slot 1: error there, real answers around it
+    mixed = server.handle_batch([
+        {"id": "ok0", "synthetic": 0},
+        {"id": "bad", "support_img": str(tmp_path / "missing.jpg"),
+         "support_mask": str(tmp_path / "missing.png")},
+        {"id": "ok2", "synthetic": 2},
+    ])
+    assert [m["id"] for m in mixed] == ["ok0", "bad", "ok2"]
+    assert "error" in mixed[1] and "results" not in mixed[1]
+    assert len(mixed[0]["results"]) == 3 and len(mixed[2]["results"]) == 3
+    # batch siblings unaffected: same ranking as the clean batch
+    assert [r["pair_id"] for r in mixed[0]["results"]] == [
+        r["pair_id"] for r in batch[0]["results"]
+    ]
+
+    # all-malformed batch: no dispatch, all errors
+    all_bad = server.handle_batch([{"id": "x", "support_img": "nope.jpg",
+                                    "support_mask": "nope.png"}])
+    assert "error" in all_bad[0]
+    # empty batch: no-op
+    assert server.handle_batch([]) == []
+
+
+def test_serve_cli_process_lines():
+    """cli.serve.process_lines: JSON-lines tick semantics — order preserved,
+    parse errors isolated per slot, blank lines skipped, whole-batch dispatch
+    failure falls back to per-request handling."""
+    from cor_tpu.cli.serve import process_lines
+
+    class StubServer:
+        def __init__(self, fail_batch=False):
+            self.fail_batch = fail_batch
+            self.batch_calls = []
+
+        def handle_batch(self, reqs):
+            if self.fail_batch:
+                raise RuntimeError("device fell over")
+            self.batch_calls.append(len(reqs))
+            return [{"id": r.get("id"), "results": []} for r in reqs]
+
+        def handle(self, req):
+            if req.get("id") == "poison":
+                raise ValueError("bad request")
+            return {"id": req.get("id"), "results": []}
+
+    srv = StubServer()
+    out = process_lines(srv, [
+        '{"id": 1, "synthetic": 0}',
+        "",                      # blank: skipped, no response slot
+        "not json{",             # parse error: error response in its slot
+        '[1, 2, 3]',             # non-object: error response
+        '{"id": 2, "synthetic": 1}\n',
+    ])
+    assert [o.get("id") for o in out] == [1, None, None, 2]
+    assert "error" in out[1] and "error" in out[2]
+    assert "results" in out[0] and "results" in out[3]
+    assert srv.batch_calls == [2]  # one dispatch for both good requests
+
+    # whole-batch failure: per-request fallback keeps good answers and
+    # converts only the poisoned request to an error
+    srv2 = StubServer(fail_batch=True)
+    out2 = process_lines(srv2, [
+        '{"id": "ok"}', '{"id": "poison"}',
+    ])
+    assert out2[0] == {"id": "ok", "results": []}
+    assert out2[1]["id"] == "poison" and "error" in out2[1]

@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--rows", type=int, default=32, help="gallery/store rows")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--requests", type=int, default=20)
+    ap.add_argument("--batch", type=int, default=8,
+                    help="also A/B micro-batched serving (handle_batch) at "
+                         "this batch size; 1 disables")
     args = ap.parse_args()
 
     sys.path.insert(0, str(Path(__file__).parent.parent))
@@ -66,32 +69,41 @@ def main():
         "store": rng.standard_normal((args.rows, 64, 64, 256)).astype(np.float16) * 0.3,
     }
 
-    def bench(mode: str, store_hbm: bool):
-        out = Path(f"/tmp/serve_bench_{mode}")
+    def bench(mode: str, store_hbm: bool, batch: int = 1):
+        out = Path(f"/tmp/serve_bench_{mode}_b{batch}")
         t0 = time.perf_counter()
         server = RetrievalServer(
             cfg, params, index, k=args.k,
             decode_dir=str(out), store_hbm=store_hbm,
         )
-        server.warmup()
+        server.warmup(batch_buckets=(batch,) if batch > 1 else (1,))
         startup = time.perf_counter() - t0
         lat = []
-        for i in range(args.requests):
+        for i in range(0, args.requests, batch):
+            reqs = [{"id": f"{mode}{i + j}", "synthetic": i + j}
+                    for j in range(min(batch, args.requests - i))]
             t0 = time.perf_counter()
-            resp = server.handle({"id": f"{mode}{i}", "synthetic": i})
-            assert len(resp["masks"]) == args.k
+            resps = server.handle_batch(reqs)
+            for resp in resps:
+                assert len(resp["masks"]) == args.k
             lat.append(time.perf_counter() - t0)
         lat = np.asarray(lat) * 1e3
+        per_req = lat / batch
         print(
-            f"{mode:12s} startup {startup:6.1f} s | request latency "
+            f"{mode:12s} B={batch:<2d} startup {startup:6.1f} s | batch latency "
             f"p50 {np.percentile(lat, 50):7.1f} ms  "
-            f"p95 {np.percentile(lat, 95):7.1f} ms  "
-            f"mean {lat.mean():7.1f} ms  (n={args.requests}, k={args.k})"
+            f"p95 {np.percentile(lat, 95):7.1f} ms | per-request "
+            f"{per_req.mean():7.1f} ms -> {1e3 / per_req.mean():6.1f} req/s  "
+            f"(n={args.requests}, k={args.k})"
         )
         return lat
 
     bench("host-stream", store_hbm=False)
     bench("store-hbm", store_hbm=True)
+    if args.batch > 1:
+        # micro-batching A/B on the HBM-resident mode (the deployment mode):
+        # one encode/scan/decode dispatch for B queued requests
+        bench("store-hbm", store_hbm=True, batch=args.batch)
 
 
 if __name__ == "__main__":
