@@ -53,6 +53,21 @@ def main(argv=None):
              "(k candidates decoded per query per chip)",
     )
     parser.add_argument(
+        "--approx", action="store_true",
+        help="approx_max_k first-stage scan (recall_target 0.99)",
+    )
+    parser.add_argument(
+        "--int8", action="store_true",
+        help="int8 per-row-quantized first-stage gallery scan",
+    )
+    parser.add_argument(
+        "--rescore", action="store_true",
+        help="two-stage retrieval: the device scan selects a 4x-widened "
+             "candidate pool, then the pool is re-scored EXACTLY in fp32 on "
+             "host and re-top-k'd — recovers the --approx/--int8 ranking "
+             "loss (accuracy matrix in BASELINE.md)",
+    )
+    parser.add_argument(
         "--gallery-index",
         default=None,
         metavar="DIR",
@@ -157,11 +172,13 @@ def main(argv=None):
                 "index — rebuild it with `cor_tpu.cli.index --with-store`"
             )
         result = evaluate_retrieval_with_index(
-            core_cfg, params, loader, mesh, index, ks=ks, rerank=args.rerank
+            core_cfg, params, loader, mesh, index, ks=ks, rerank=args.rerank,
+            approx=args.approx, quantize=args.int8, rescore=args.rescore,
         )
     else:
         result = evaluate_retrieval(
-            core_cfg, params, loader, mesh, ks=ks, rerank=args.rerank
+            core_cfg, params, loader, mesh, ks=ks, rerank=args.rerank,
+            approx=args.approx, quantize=args.int8, rescore=args.rescore,
         )
 
     if args.dump_top1:

@@ -69,7 +69,11 @@ def process_lines(server, raw_lines):
                 return {"id": r.get("id"), "error": f"{type(ee).__name__}: {ee}"}
 
         batch_resps = iter([_single(r) for r in reqs])
-    return [payload if kind == "err" else next(batch_resps)
+    # next() default guards against a handle_batch that violates the
+    # len(resps)==len(reqs) contract: a short batch must degrade to error
+    # responses, not raise StopIteration out of the serving loop
+    return [payload if kind == "err"
+            else next(batch_resps, {"id": None, "error": "missing response"})
             for kind, payload in entries]
 
 
@@ -84,6 +88,10 @@ def main(argv=None):
     parser.add_argument("--int8", action="store_true",
                         help="int8 per-row-quantized gallery scan (4x less "
                              "gallery HBM; accuracy measured in BASELINE.md)")
+    parser.add_argument("--rescore", action="store_true",
+                        help="two-stage scan: 4x-widened device pool + exact "
+                             "fp32 host rescore (recovers --approx/--int8 "
+                             "ranking loss; matrix in BASELINE.md)")
     parser.add_argument("--decode-masks", default=None, metavar="DIR",
                         help="also decode + save top-k candidate masks "
                         "(requires an index built --with-store)")
@@ -147,6 +155,7 @@ def main(argv=None):
         decode_dir=args.decode_masks,
         tokenizer_path=cfg.tokenizer_path,
         store_hbm=args.store_hbm,
+        rescore=args.rescore,
     )
     max_batch = max(1, args.max_batch)
     buckets = [1]
@@ -169,7 +178,10 @@ def main(argv=None):
     import queue
     import threading
 
-    lines: "queue.Queue" = queue.Queue()
+    # bounded so the reader blocks when the device falls behind — restores
+    # the OS-pipe backpressure a direct-read loop would have had (a client
+    # faster than the device otherwise grows host memory without bound)
+    lines: "queue.Queue" = queue.Queue(maxsize=max(8, 4 * max_batch))
     def _reader():
         for raw in sys.stdin:
             lines.put(raw)

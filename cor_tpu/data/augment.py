@@ -35,10 +35,31 @@ def random_rotation(img: Image.Image, gt: Image.Image, rng: np.random.Generator)
 
 
 def color_enhance(img: Image.Image, rng: np.random.Generator) -> Image.Image:
-    img = ImageEnhance.Brightness(img).enhance(int(rng.integers(5, 16)) / 10.0)
-    img = ImageEnhance.Contrast(img).enhance(int(rng.integers(5, 16)) / 10.0)
-    img = ImageEnhance.Color(img).enhance(int(rng.integers(0, 21)) / 10.0)
-    img = ImageEnhance.Sharpness(img).enhance(int(rng.integers(0, 31)) / 10.0)
+    # jitter factors drawn UP FRONT in the reference's order (brightness,
+    # contrast, color, sharpness — dataloader.py:38-47) so the native and
+    # PIL paths consume the rng identically and (seed, epoch, idx)
+    # determinism holds on hosts with and without the C++ data plane
+    fb = int(rng.integers(5, 16)) / 10.0
+    fc = int(rng.integers(5, 16)) / 10.0
+    fcol = int(rng.integers(0, 21)) / 10.0
+    fs = int(rng.integers(0, 31)) / 10.0
+
+    from cor_tpu.native import native_available
+
+    if native_available() and img.mode == "RGB":
+        # one GIL-released C call for the whole 4-enhancer chain — the
+        # single-threaded PIL chain was ~51 ms/sample, ~60% of the host
+        # input-pipeline cost (BASELINE.md); bit-exactness vs PIL is proven
+        # in tests/test_native_preproc.py
+        from cor_tpu.native import color_enhance_u8
+
+        return Image.fromarray(
+            color_enhance_u8(np.asarray(img), fb, fc, fcol, fs), "RGB"
+        )
+    img = ImageEnhance.Brightness(img).enhance(fb)
+    img = ImageEnhance.Contrast(img).enhance(fc)
+    img = ImageEnhance.Color(img).enhance(fcol)
+    img = ImageEnhance.Sharpness(img).enhance(fs)
     return img
 
 

@@ -9,9 +9,15 @@ path when a compiler is unavailable (`native_available()` is False).
 """
 
 from cor_tpu.native.preproc import (
+    color_enhance_u8,
     native_available,
     resize_bilinear_u8,
     resize_normalize_f32,
 )
 
-__all__ = ["native_available", "resize_bilinear_u8", "resize_normalize_f32"]
+__all__ = [
+    "color_enhance_u8",
+    "native_available",
+    "resize_bilinear_u8",
+    "resize_normalize_f32",
+]

@@ -120,9 +120,109 @@ void resample_v(const uint8_t* src, int h, int w, int ch, uint8_t* dst, int oh,
     }
 }
 
+// ---------------------------------------------------------------------------
+// ImageEnhance-parity color jitter (reference: utils/dataloader.py:38-47).
+//
+// Pillow semantics, verified bit-exact against Pillow 12 (see
+// tests/test_native_preproc.py):
+// - every enhancer is Image.blend(degenerate, image, factor) with FLOAT32
+//   arithmetic `out = in1 + f*(in2-in1)`, truncated to uint8; the clip to
+//   [0,255] exists ONLY on the extrapolation branch (factor outside [0,1]);
+// - Brightness degenerate = black; Contrast = solid gray at
+//   int(mean(L) + 0.5); Color = L replicated to RGB; Sharpness = the SMOOTH
+//   3x3 filter (kernel [1,1,1,1,5,1,1,1,1]/13, +0.5 then truncate, border
+//   pixels copied);
+// - L = (r*19595 + g*38470 + b*7471 + 0x8000) >> 16 (rounded).
+// ---------------------------------------------------------------------------
+
+inline uint8_t blend1(uint8_t in1, uint8_t in2, float f, bool extrapolate) {
+    float v = static_cast<float>(in1) +
+              f * (static_cast<float>(in2) - static_cast<float>(in1));
+    if (extrapolate) {
+        if (v <= 0.0f) return 0;
+        if (v >= 255.0f) return 255;
+    }
+    return static_cast<uint8_t>(v);
+}
+
+inline uint8_t lum(const uint8_t* px) {
+    return static_cast<uint8_t>(
+        (px[0] * 19595u + px[1] * 38470u + px[2] * 7471u + 0x8000u) >> 16);
+}
+
+void smooth3x3(const uint8_t* src, int h, int w, uint8_t* dst) {
+    // Pillow ImageFilter.SMOOTH: border rows/cols copied verbatim
+    std::memcpy(dst, src, static_cast<size_t>(h) * w * 3);
+    if (h < 3 || w < 3) return;
+    const float k[9] = {1.f / 13, 1.f / 13, 1.f / 13, 1.f / 13, 5.f / 13,
+                        1.f / 13, 1.f / 13, 1.f / 13, 1.f / 13};
+    for (int y = 1; y < h - 1; ++y) {
+        for (int x = 1; x < w - 1; ++x) {
+            for (int b = 0; b < 3; ++b) {
+                float ss = 0.0f;
+                int ki = 0;
+                for (int dy = -1; dy <= 1; ++dy)
+                    for (int dx = -1; dx <= 1; ++dx)
+                        ss += k[ki++] *
+                              src[(static_cast<size_t>(y + dy) * w + (x + dx)) * 3 + b];
+                ss += 0.5f;
+                uint8_t v;
+                if (ss <= 0.0f) v = 0;
+                else if (ss >= 255.0f) v = 255;
+                else v = static_cast<uint8_t>(ss);
+                dst[(static_cast<size_t>(y) * w + x) * 3 + b] = v;
+            }
+        }
+    }
+}
+
 }  // namespace
 
 extern "C" {
+
+// Full reference color-jitter chain on an RGB u8 image, Pillow-bit-exact:
+// brightness -> contrast -> color -> sharpness, each Image.blend semantics.
+// src/dst are [h, w, 3]; dst may NOT alias src.
+void cor_color_enhance_u8(const uint8_t* src, int h, int w, float f_bright,
+                          float f_contrast, float f_color, float f_sharp,
+                          uint8_t* dst) {
+    const size_t n = static_cast<size_t>(h) * w;
+    std::vector<uint8_t> tmp(n * 3);
+    uint8_t* t = tmp.data();
+
+    // 1) brightness: blend(black, img, f)
+    {
+        const bool ex = f_bright < 0.0f || f_bright > 1.0f;
+        for (size_t i = 0; i < n * 3; ++i) t[i] = blend1(0, src[i], f_bright, ex);
+    }
+    // 2) contrast: blend(solid gray mean(L), img, f)
+    {
+        uint64_t sum = 0;
+        for (size_t i = 0; i < n; ++i) sum += lum(t + i * 3);
+        const uint8_t mean = static_cast<uint8_t>(
+            static_cast<int>(static_cast<double>(sum) / static_cast<double>(n) + 0.5));
+        const bool ex = f_contrast < 0.0f || f_contrast > 1.0f;
+        for (size_t i = 0; i < n * 3; ++i)
+            t[i] = blend1(mean, t[i], f_contrast, ex);
+    }
+    // 3) color: blend(L replicated, img, f)
+    {
+        const bool ex = f_color < 0.0f || f_color > 1.0f;
+        for (size_t i = 0; i < n; ++i) {
+            const uint8_t g = lum(t + i * 3);
+            for (int b = 0; b < 3; ++b)
+                t[i * 3 + b] = blend1(g, t[i * 3 + b], f_color, ex);
+        }
+    }
+    // 4) sharpness: blend(SMOOTH(img), img, f) — dst holds the smoothed
+    //    degenerate, then is overwritten with the blend
+    {
+        smooth3x3(t, h, w, dst);
+        const bool ex = f_sharp < 0.0f || f_sharp > 1.0f;
+        for (size_t i = 0; i < n * 3; ++i)
+            dst[i] = blend1(dst[i], t[i], f_sharp, ex);
+    }
+}
 
 // Pillow-BILINEAR-parity resize of an interleaved u8 image.
 void cor_resize_bilinear_u8(const uint8_t* src, int h, int w, int ch,

@@ -60,7 +60,12 @@ def _build() -> Optional[ctypes.CDLL]:
             # never CDLL a half-written .so
             tmp = _SO.with_suffix(f".{os.getpid()}.tmp")
             subprocess.run(
-                ["g++", "-O3", "-march=native", "-funroll-loops", "-shared", "-fPIC", "-std=c++17",
+                # -ffp-contract=off: the ImageEnhance blend must round mul
+                # and add separately (Pillow wheels target baseline x86-64
+                # without FMA); -march=native would otherwise contract
+                # f*(in2-in1)+in1 into an FMA and flip ~2% of truncations
+                ["g++", "-O3", "-march=native", "-ffp-contract=off",
+                 "-funroll-loops", "-shared", "-fPIC", "-std=c++17",
                  str(_SRC), "-o", str(tmp)],
                 check=True, capture_output=True, timeout=120,
             )
@@ -75,6 +80,11 @@ def _build() -> Optional[ctypes.CDLL]:
         lib.cor_resize_normalize_f32.argtypes = [
             u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             f32p, ctypes.c_int, ctypes.c_int, f32p, f32p,
+        ]
+        lib.cor_color_enhance_u8.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            u8p,
         ]
         return lib
     except Exception:
@@ -113,6 +123,28 @@ def resize_bilinear_u8(img: np.ndarray, oh: int, ow: int) -> np.ndarray:
     lib.cor_resize_bilinear_u8(
         src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, c,
         dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), oh, ow,
+    )
+    return dst
+
+
+def color_enhance_u8(
+    img: np.ndarray, f_bright: float, f_contrast: float, f_color: float,
+    f_sharp: float,
+) -> np.ndarray:
+    """Pillow-ImageEnhance-parity jitter chain on a uint8 HWC RGB image:
+    brightness -> contrast -> color -> sharpness (reference semantics
+    utils/dataloader.py:38-47; bit-exactness proven in
+    tests/test_native_preproc.py)."""
+    lib = _get_lib()
+    assert lib is not None, "native preproc unavailable"
+    src = np.ascontiguousarray(img)
+    assert src.dtype == np.uint8 and src.ndim == 3 and src.shape[2] == 3
+    h, w, _ = src.shape
+    dst = np.empty_like(src)
+    lib.cor_color_enhance_u8(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
+        f_bright, f_contrast, f_color, f_sharp,
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return dst
 

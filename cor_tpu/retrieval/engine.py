@@ -372,20 +372,36 @@ class RetrievalEngine:
         approx: bool = False,
         recall_target: float = 0.99,
         quantize: bool = False,
+        rescore: bool = False,
+        rescore_width: int = 4,
     ):
+        """``rescore=True`` turns the engine into a two-stage retriever:
+        the device scan (int8/approx as configured) selects a WIDENED pool
+        of ``rescore_width * k`` candidates, then the pool is re-scored
+        exactly in fp32 against the host-resident gallery and re-top-k'd.
+        The heavy O(G) work stays on the MXU at scan precision; the exact
+        refinement is O(k) host FLOPs per query — this measurably recovers
+        the int8+approx ranking loss (matrix in BASELINE.md)."""
         self.mesh = mesh
         self.k = k
         self.quantize = quantize
         self.approx = approx
         self.recall_target = recall_target
+        self.rescore = rescore
+        self.k_scan = rescore_width * k if rescore else k
         self._retrieve = make_sharded_retrieve(
-            mesh, k, approx, recall_target, quantized=quantize
+            mesh, self.k_scan, approx, recall_target, quantized=quantize
         )
         self.gallery: Optional[ShardedGallery] = None
+        self._host_gallery: Optional[np.ndarray] = None
 
     def set_gallery(self, embeddings: np.ndarray):
         norms = np.linalg.norm(embeddings, axis=1, keepdims=True)
         embeddings = embeddings / np.maximum(norms, 1e-12)
+        if self.rescore:
+            # exact-stage source of truth (fp32, host RAM — 130 MB at
+            # COR127K scale; the device only ever holds the scan precision)
+            self._host_gallery = np.ascontiguousarray(embeddings, np.float32)
         self.gallery = ShardedGallery.build(
             self.mesh, embeddings.astype(np.float32), quantize=self.quantize
         )
@@ -446,7 +462,12 @@ class RetrievalEngine:
         )
 
     def retrieve(self, query_embeddings: jax.Array) -> Tuple[jax.Array, jax.Array]:
-        """query_embeddings [Q, D] (L2-normed) -> (scores, indices) [Q, k]."""
+        """query_embeddings [Q, D] (L2-normed) -> (scores, indices) [Q, k].
+
+        With ``rescore=True`` the device scan returns the widened
+        ``k_scan`` pool and the final (scores, indices) come from the exact
+        fp32 host rescore of that pool — scores are then TRUE cosines, not
+        quantized/approximate ones."""
         assert self.gallery is not None, "call set_gallery first"
         extra = (self.gallery.scales,) if self.quantize else ()
         scores, idx = self._retrieve(
@@ -455,8 +476,29 @@ class RetrievalEngine:
         # demote padded rows (index -1) below every real candidate
         scores = jnp.where(idx < 0, -jnp.inf, scores)
         order = jnp.argsort(-scores, axis=1)
-        return jnp.take_along_axis(scores, order, axis=1), jnp.take_along_axis(
-            idx, order, axis=1
+        scores = jnp.take_along_axis(scores, order, axis=1)
+        idx = jnp.take_along_axis(idx, order, axis=1)
+        if not self.rescore:
+            return scores, idx
+        return self._exact_rescore(np.asarray(query_embeddings), np.asarray(idx))
+
+    def _exact_rescore(
+        self, queries: np.ndarray, pool_idx: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Exact fp32 second stage: [Q, k_scan] candidate pool -> top-k by
+        true cosine against the host gallery. O(Q * k_scan * D) host FLOPs —
+        ~3 MFLOP for a 256-query batch at k_scan=40, negligible next to the
+        device scan it refines."""
+        g = self._host_gallery
+        safe_idx = np.clip(pool_idx, 0, g.shape[0] - 1)
+        rows = g[safe_idx]  # [Q, k_scan, D]
+        s = np.einsum("qd,qkd->qk", queries.astype(np.float32), rows)
+        s[pool_idx < 0] = -np.inf  # padded slots stay demoted
+        k = min(self.k, pool_idx.shape[1])
+        order = np.argsort(-s, axis=1)[:, :k]
+        return (
+            np.take_along_axis(s, order, axis=1),
+            np.take_along_axis(pool_idx, order, axis=1),
         )
 
 

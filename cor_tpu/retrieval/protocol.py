@@ -105,17 +105,22 @@ def _make_decode_retriever(cfg, params, store, no_mask_embed=None):
 
 
 def _scan_recall(
-    mesh, gallery, queries, targets, ks, query_batch, make_retrieve=None
+    mesh, gallery, queries, targets, ks, query_batch, make_retrieve=None,
+    approx=False, quantize=False, rescore=False,
 ) -> Dict[str, float]:
     """Shared scan half of every protocol entry point: sharded engine scan
     of (already-encoded) queries against the gallery + Recall@K. Queries are
     L2-normed by the support branch already; normalize defensively so cosine
     stays a dot product. ``make_retrieve(engine)`` may replace the plain
     scan with another [Q, D] -> indices [Q, k] retriever over the same
-    engine (the decode-reranked variant)."""
+    engine (the decode-reranked variant). ``approx``/``quantize``/``rescore``
+    select the first-stage scan precision and the exact second stage —
+    the accuracy of each combination is the matrix in BASELINE.md."""
     g = gallery.shape[0]
     k_max = min(max(ks), g)
-    engine = RetrievalEngine(mesh, k=k_max)
+    engine = RetrievalEngine(
+        mesh, k=k_max, approx=approx, quantize=quantize, rescore=rescore
+    )
     engine.set_gallery(gallery)
     retrieve = (
         (lambda q: engine.retrieve(q)[1])
@@ -140,6 +145,9 @@ def evaluate_retrieval(
     ks: Tuple[int, ...] = (1, 5, 10),
     query_batch: int = 256,
     rerank: bool = False,
+    approx: bool = False,
+    quantize: bool = False,
+    rescore: bool = False,
 ) -> Dict[str, float]:
     """Full protocol: encode, sharded gallery scan, Recall@K.
 
@@ -148,6 +156,10 @@ def evaluate_retrieval(
     embeddings and ranks the merged pool by predicted mask IoU
     (engine.make_sharded_retrieve_decode) — the decoder-informed variant of
     the protocol; max(ks) candidates are decoded per query per chip.
+
+    ``approx``/``quantize`` select the first-stage scan precision;
+    ``rescore=True`` adds the exact fp32 second stage over a widened pool
+    (two-stage retrieval — recovers the int8/approx ranking loss).
 
     Returns {"recall@1": ..., "recall@5": ..., "recall@10": ..., "gallery_size": G}.
     """
@@ -159,7 +171,8 @@ def evaluate_retrieval(
     # prompt was baked in batch-by-batch by encode_manifest
     make_retrieve = _make_decode_retriever(cfg, params, store) if rerank else None
     return _scan_recall(
-        mesh, gallery, queries, targets, ks, query_batch, make_retrieve
+        mesh, gallery, queries, targets, ks, query_batch, make_retrieve,
+        approx=approx, quantize=quantize, rescore=rescore,
     )
 
 
@@ -172,6 +185,9 @@ def evaluate_retrieval_with_index(
     ks: Tuple[int, ...] = (1, 5, 10),
     query_batch: int = 256,
     rerank: bool = False,
+    approx: bool = False,
+    quantize: bool = False,
+    rescore: bool = False,
 ) -> Dict[str, float]:
     """Serving-mode protocol: queries encoded live, gallery loaded from a
     prebuilt ``cor_tpu.cli.index`` artifact (no candidate re-encoding).
@@ -226,5 +242,6 @@ def evaluate_retrieval_with_index(
             no_mask_embed=np.asarray(params["prompt_encoder"]["no_mask_embed"][0]),
         )
     return _scan_recall(
-        mesh, gallery, queries, targets, ks, query_batch, make_retrieve
+        mesh, gallery, queries, targets, ks, query_batch, make_retrieve,
+        approx=approx, quantize=quantize, rescore=rescore,
     )

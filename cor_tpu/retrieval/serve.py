@@ -48,6 +48,7 @@ class RetrievalServer:
         tokenizer_path: Optional[str] = None,
         mesh=None,
         store_hbm: bool = False,
+        rescore: bool = False,
     ):
         from cor_tpu.data.tokenizer import get_tokenizer
         from cor_tpu.parallel import make_mesh
@@ -61,7 +62,9 @@ class RetrievalServer:
         self.params = params
         self.k = min(k, len(index["pair_ids"]))
         self.mesh = mesh if mesh is not None else make_mesh()
-        self.engine = RetrievalEngine(self.mesh, k=self.k, approx=approx, quantize=quantize)
+        self.engine = RetrievalEngine(
+            self.mesh, k=self.k, approx=approx, quantize=quantize, rescore=rescore
+        )
         self.engine.set_gallery(index["embeddings"])
         self.pair_ids = np.asarray(index["pair_ids"])
         self.store = index.get("store")  # [G, g, g, C] fp16 mmap or None
@@ -220,32 +223,56 @@ class RetrievalServer:
                 )
         return resps
 
+    # host-stream decode ships fp32 candidate rows ([g, g, C] ~4.2 MB each at
+    # flagship geometry); cap rows per dispatch so a large --max-batch x k
+    # cannot materialize an unbounded device buffer (B=8, k=10 would be
+    # ~0.5 GB in one ship — chunked it peaks at cap x 4.2 MB)
+    HOST_STREAM_DECODE_CAP = 32
+
     def _decode_logits_batch(self, idx: np.ndarray, q) -> np.ndarray:
         """[B, k] candidate rows + [B, D] query feats -> mask logits
-        [B, k, 4g, 4g], decoded in ONE dispatch (flattened to B*k candidates,
-        padded to a power-of-two bucket)."""
+        [B, k, 4g, 4g]. HBM-resident store: ONE dispatch (flattened to B*k
+        candidates, padded to a power-of-two bucket). Host-streamed store:
+        chunked at HOST_STREAM_DECODE_CAP rows per dispatch to bound the
+        shipped fp32 buffer."""
         import jax.numpy as jnp
 
         B, k = idx.shape
         n = B * k
-        npad = self._bucket(n)
-        flat_idx = np.concatenate([idx.reshape(-1), np.full(npad - n, idx[0, 0])])
-        feats = jnp.repeat(q, k, axis=0)  # [B*k, D]
-        feats = jnp.concatenate(
-            [feats, jnp.broadcast_to(feats[:1], (npad - n, feats.shape[1]))]
-        )
+        flat_idx = idx.reshape(-1)
+        feats_np = np.repeat(np.asarray(q), k, axis=0)  # [B*k, D]
         if self._decode_hbm is not None:
-            # store-indexed decode straight out of the HBM-resident int8 store
+            # store-indexed decode straight out of the HBM-resident int8
+            # store: row indices are cheap, no chunking needed
+            npad = self._bucket(n)
+            pidx = np.concatenate([flat_idx, np.full(npad - n, idx[0, 0])])
+            feats = jnp.asarray(np.concatenate(
+                [feats_np, np.broadcast_to(feats_np[:1], (npad - n, feats_np.shape[1]))]
+            ))
             logits = np.asarray(
                 self._decode_hbm(
                     self.params, self._store_q, self._store_scales,
-                    jnp.asarray(flat_idx.astype(np.int32)), feats,
+                    jnp.asarray(pidx.astype(np.int32)), feats,
                 )
             )  # [npad, 1, 4g, 4g]
         else:
-            # host-streamed: gather the mmap'd fp16 rows, ship, decode
-            cand = jnp.asarray(np.asarray(self.store[flat_idx], np.float32))
-            logits = np.asarray(self._decode(self.params, cand, feats))
+            # host-streamed: gather the mmap'd fp16 rows, ship, decode — in
+            # chunks so device memory stays bounded regardless of B*k
+            cap = self.HOST_STREAM_DECODE_CAP
+            chunks = []
+            for s in range(0, n, cap):
+                cidx = flat_idx[s:s + cap]
+                m = len(cidx)
+                mpad = self._bucket(m)
+                cidx = np.concatenate([cidx, np.full(mpad - m, flat_idx[0])])
+                cf = np.concatenate(
+                    [feats_np[s:s + m],
+                     np.broadcast_to(feats_np[:1], (mpad - m, feats_np.shape[1]))]
+                )
+                cand = jnp.asarray(np.asarray(self.store[cidx], np.float32))
+                out = np.asarray(self._decode(self.params, cand, jnp.asarray(cf)))
+                chunks.append(out[:m])
+            logits = np.concatenate(chunks)  # [n, 1, 4g, 4g]
         return logits[:n, 0].reshape(B, k, *logits.shape[2:])
 
     def _save_masks(self, req_id, idx: np.ndarray, logits: np.ndarray,

@@ -44,6 +44,82 @@ def test_resize_normalize_matches_pil_numpy_chain(rng):
     np.testing.assert_allclose(got, ref, atol=2e-6)
 
 
+def test_color_enhance_bitexact_vs_pil_imageenhance(rng):
+    """cor_color_enhance_u8 reproduces the full PIL ImageEnhance chain
+    bit-exactly over the reference's jitter ranges (utils/dataloader.py:38-47:
+    brightness/contrast in [0.5, 1.5], color in [0, 2], sharpness in [0, 3])
+    — including the interpolation (no clip) vs extrapolation (clip) branches
+    and the SMOOTH-filter degenerate with copied borders."""
+    from PIL import ImageEnhance
+
+    from cor_tpu.native import color_enhance_u8
+
+    for trial in range(6):
+        h, w = int(rng.integers(3, 120)), int(rng.integers(3, 120))
+        a = rng.integers(0, 256, (h, w, 3), np.uint8)
+        img = Image.fromarray(a, "RGB")
+        fb = int(rng.integers(5, 16)) / 10.0
+        fc = int(rng.integers(5, 16)) / 10.0
+        fcol = int(rng.integers(0, 21)) / 10.0
+        fs = int(rng.integers(0, 31)) / 10.0
+        ref = ImageEnhance.Brightness(img).enhance(fb)
+        ref = ImageEnhance.Contrast(ref).enhance(fc)
+        ref = ImageEnhance.Color(ref).enhance(fcol)
+        ref = ImageEnhance.Sharpness(ref).enhance(fs)
+        got = color_enhance_u8(a, fb, fc, fcol, fs)
+        np.testing.assert_array_equal(got, np.asarray(ref), err_msg=(
+            f"factors b={fb} c={fc} col={fcol} s={fs} shape=({h},{w})"
+        ))
+
+
+@pytest.mark.parametrize("factors", [
+    (1.0, 1.0, 1.0, 1.0),   # all identity
+    (0.5, 0.5, 0.0, 0.0),   # lower bounds (grayscale + full smooth)
+    (1.5, 1.5, 2.0, 3.0),   # upper bounds (full extrapolation clip)
+])
+def test_color_enhance_boundary_factors(rng, factors):
+    from PIL import ImageEnhance
+
+    from cor_tpu.native import color_enhance_u8
+
+    a = rng.integers(0, 256, (33, 47, 3), np.uint8)
+    img = Image.fromarray(a, "RGB")
+    fb, fc, fcol, fs = factors
+    ref = ImageEnhance.Brightness(img).enhance(fb)
+    ref = ImageEnhance.Contrast(ref).enhance(fc)
+    ref = ImageEnhance.Color(ref).enhance(fcol)
+    ref = ImageEnhance.Sharpness(ref).enhance(fs)
+    np.testing.assert_array_equal(
+        color_enhance_u8(a, fb, fc, fcol, fs), np.asarray(ref)
+    )
+
+
+def test_augment_color_enhance_native_equals_pil(rng, monkeypatch):
+    """data.augment.color_enhance: identical output AND identical rng
+    consumption on the native and PIL paths (a host without g++ must
+    reproduce the same augmented stream for a given seed)."""
+    from cor_tpu.data import augment
+
+    img = Image.fromarray(rng.integers(0, 256, (70, 90, 3), np.uint8), "RGB")
+
+    r1 = np.random.default_rng(123)
+    native_out = augment.color_enhance(img, r1)
+    after_native = r1.integers(0, 1 << 30)
+
+    monkeypatch.setenv("COR_TPU_NO_NATIVE", "1")
+    import cor_tpu.native.preproc as npre
+
+    monkeypatch.setattr(npre, "_tried", False)
+    monkeypatch.setattr(npre, "_lib", None)
+    r2 = np.random.default_rng(123)
+    pil_out = augment.color_enhance(img, r2)
+    after_pil = r2.integers(0, 1 << 30)
+    monkeypatch.setattr(npre, "_tried", False)
+
+    np.testing.assert_array_equal(np.asarray(native_out), np.asarray(pil_out))
+    assert after_native == after_pil  # same rng draws on both paths
+
+
 def test_pipeline_to_float_img_native_equals_pil(rng, monkeypatch):
     """_to_float_img produces identical arrays on both paths."""
     from cor_tpu.data import pipeline as pp

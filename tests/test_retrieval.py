@@ -208,6 +208,61 @@ def test_sharded_retrieve_int8_quantized(rng):
     assert np.all(qs[:, 0] > 0.98) and np.all(qs <= 1.01)
 
 
+def test_rescore_recovers_int8_ranking_loss(rng):
+    """Two-stage retrieval (rescore=True): the int8 first stage loses top-10
+    agreement with the fp32-exact scan on a tight-margin clustered gallery
+    (the measured production failure mode — BASELINE.md's 0.9754 int8+approx
+    overlap at 127K); the exact fp32 second stage over the 4x-widened pool
+    must recover it to >= 0.99, return TRUE cosine scores, and keep
+    self-retrieval exact."""
+    # 408-class clustered gallery at sigma=0.05 (COR127K's category count,
+    # the tightest margin in the BASELINE.md sweep), CPU-sized
+    G, D, Q, k = 4096, 256, 64, 10
+    centers = _normed(rng, 408, D)
+    labels = rng.integers(0, 408, G)
+    gallery = centers[labels] + 0.05 * rng.standard_normal((G, D)).astype(np.float32)
+    gallery /= np.linalg.norm(gallery, axis=1, keepdims=True)
+    # realistic-margin queries: perturbed gallery rows, NOT exact copies
+    targets = rng.integers(0, G, Q)
+    queries = gallery[targets] + 0.02 * rng.standard_normal((Q, D)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+    mesh = make_mesh()
+    exact = RetrievalEngine(mesh, k=k)
+    exact.set_gallery(gallery)
+    _, ei = exact.retrieve(jnp.asarray(queries))
+    ei = np.asarray(ei)
+
+    def overlap(a, b):
+        return np.mean([len(set(a[i]) & set(b[i])) / k for i in range(Q)])
+
+    i8 = RetrievalEngine(mesh, k=k, quantize=True)
+    i8.set_gallery(gallery)
+    _, ii = i8.retrieve(jnp.asarray(queries))
+    base_overlap = overlap(ei, np.asarray(ii))
+
+    r8 = RetrievalEngine(mesh, k=k, quantize=True, approx=True, rescore=True)
+    r8.set_gallery(gallery)
+    assert r8.k_scan == 4 * k
+    rs, ri = r8.retrieve(jnp.asarray(queries))
+    rescored_overlap = overlap(ei, ri)
+
+    # the pinning claims: rescore recovers the quantized scan's loss
+    assert rescored_overlap >= 0.99, (
+        f"rescored int8+approx top-10 agreement {rescored_overlap:.4f} < 0.99 "
+        f"(first-stage-only agreement was {base_overlap:.4f})"
+    )
+    assert rescored_overlap >= base_overlap - 1e-9
+    # scores are TRUE fp32 cosines of the returned rows (not int8-rescaled)
+    gnorm = gallery / np.maximum(
+        np.linalg.norm(gallery, axis=1, keepdims=True), 1e-12
+    )
+    true_scores = np.einsum("qd,qkd->qk", queries, gnorm[ri])
+    np.testing.assert_allclose(rs, true_scores, atol=1e-5, rtol=1e-5)
+    # self-retrieval at this perturbation stays exact through both stages
+    assert (ri[:, 0] == targets).all()
+
+
 def test_int8_quantization_roundtrip_accuracy(rng):
     from cor_tpu.retrieval.engine import quantize_rows_int8
 

@@ -76,9 +76,15 @@ def main():
             cfg, params, index, k=args.k,
             decode_dir=str(out), store_hbm=store_hbm,
         )
-        server.warmup(batch_buckets=(batch,) if batch > 1 else (1,))
+        # warm every power-of-two bucket up to `batch` (as cli/serve.py does):
+        # a partial final batch (requests % batch != 0) rounds to a smaller
+        # bucket and must not JIT-compile inside the timed region
+        buckets = [1]
+        while buckets[-1] < batch:
+            buckets.append(buckets[-1] * 2)
+        server.warmup(batch_buckets=buckets)
         startup = time.perf_counter() - t0
-        lat = []
+        lat, sizes = [], []
         for i in range(0, args.requests, batch):
             reqs = [{"id": f"{mode}{i + j}", "synthetic": i + j}
                     for j in range(min(batch, args.requests - i))]
@@ -87,8 +93,11 @@ def main():
             for resp in resps:
                 assert len(resp["masks"]) == args.k
             lat.append(time.perf_counter() - t0)
+            sizes.append(len(reqs))
         lat = np.asarray(lat) * 1e3
-        per_req = lat / batch
+        # per-request cost divides each batch's latency by ITS request count
+        # (a trailing partial batch must not inflate throughput)
+        per_req = lat / np.asarray(sizes)
         print(
             f"{mode:12s} B={batch:<2d} startup {startup:6.1f} s | batch latency "
             f"p50 {np.percentile(lat, 50):7.1f} ms  "
