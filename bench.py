@@ -347,6 +347,33 @@ def main() -> None:
         np.mean([len(set(exact_i_iso[r]) & set(i8_i[r])) / 10.0 for r in range(QB)])
     )
 
+    # two-stage exact rescore (RetrievalEngine(rescore=True) math): int8+
+    # approx first stage at 4x-widened k, exact TRUE-fp32 second stage over
+    # the pool — the accuracy-recovery column (full matrix in BASELINE.md)
+    @jax.jit
+    def scan127_int8_rescored(queries, gq, gs, g):
+        qq, qs = _quantize_queries_in_graph(queries)
+        s = cosine_scores_int8(qq, qs, gq, gs)
+        _, pool = jax.lax.approx_max_k(s, 40, recall_target=0.99)
+        rows = g[pool]  # [Q, 40, D]
+        sr = jnp.einsum("qd,qkd->qk", queries, rows,
+                        precision=jax.lax.Precision.HIGHEST)
+        sc, pos = jax.lax.top_k(sr, 10)
+        return sc, jnp.take_along_axis(pool, pos, axis=1)
+
+    @jax.jit
+    def scan127_true_exact(queries, gallery):
+        s = jnp.dot(queries, gallery.T, precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+        return jax.lax.top_k(s, 10)
+
+    _, rs_i = scan127_int8_rescored(probe, g127_q, g127_s, g127_dev)
+    _, true_i = scan127_true_exact(probe, g127_dev)
+    rs_i, true_i = np.asarray(rs_i), np.asarray(true_i)
+    overlap_int8_rescored = float(
+        np.mean([len(set(true_i[r]) & set(rs_i[r])) / 10.0 for r in range(QB)])
+    )
+
     @jax.jit
     def scan127_int8_n(queries, gq, gs):
         def body(carry, i):
@@ -405,6 +432,9 @@ def main() -> None:
                     "cor127k_int8_queries_per_sec": round(int8_qps, 2),
                     "int8_self_recall_at_1": round(recall1_int8, 4),
                     "int8_vs_exact_top10_overlap": round(overlap_int8, 4),
+                    "int8_approx_rescored_vs_truefp32_top10_overlap": round(
+                        overlap_int8_rescored, 4
+                    ),
                     "realistic_store_candidates_per_sec": round(
                         candidates_per_sec_big_store, 2
                     ),

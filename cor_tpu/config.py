@@ -67,6 +67,15 @@ class TrainConfig:
     num_workers: int = 8
     mesh_data: Optional[int] = None  # None -> all devices
     mesh_model: int = 1
+    # GPipe pipeline parallelism: > 1 adds a `stage` mesh axis and runs the
+    # SAM encoder's block stack as mesh_stage pipeline stages (fully
+    # differentiable — the train step pipelines too; gradient parity vs the
+    # sequential step is pinned in tests/test_pipeline_parallel.py).
+    # Composes with mesh_data (devices = data x model x stage)
+    mesh_stage: int = 1
+    # microbatches per pipeline fill (bubble fraction = (S-1)/(M+S-1));
+    # batch_size must divide by it after mesh padding
+    pp_microbatches: int = 4
     log_every: int = 10
     # ZeRO-1 analog: shard optimizer-state leaves over the data axis
     # (the reference's DeepSpeed option — my_train_a.py:208-213)
@@ -95,7 +104,7 @@ class TrainConfig:
             compute_dtype=self.compute_dtype,
             freeze_towers=self.freeze_towers,
         )
-        if self.encoder_remat is not None or self.seq_shard:
+        if self.encoder_remat is not None or self.seq_shard or self.mesh_stage > 1:
             from dataclasses import replace as _replace
 
             enc = cfg.encoder
@@ -103,6 +112,12 @@ class TrainConfig:
                 enc = _replace(enc, remat_blocks=self.encoder_remat)
             if self.seq_shard:
                 enc = _replace(enc, seq_shard=True)
+            if self.mesh_stage > 1:
+                enc = _replace(
+                    enc,
+                    pp_stages=self.mesh_stage,
+                    pp_microbatches=self.pp_microbatches,
+                )
             cfg = _replace(cfg, encoder_override=enc)
         return cfg
 

@@ -89,6 +89,16 @@ class SamEncoderConfig:
     # needs it. Placement-only (numerics unchanged). Requires
     # cor_tpu.parallel.set_activation_mesh(mesh) before the first traced step
     seq_shard: bool = False
+    # GPipe pipeline parallelism over the mesh's `stage` axis: > 1 runs the
+    # block stack as pp_stages pipeline stages (cor_tpu.parallel.pipeline),
+    # fully differentiable — JAX AD transposes the scan/ppermute schedule, so
+    # the SAME config trains (gradient-parity-tested vs the sequential step).
+    # Requires set_activation_mesh(mesh) with a mesh carrying a `stage` axis
+    # of this extent, and depth % pp_stages == 0 with a homogeneous
+    # windowed/global pattern per stage (2 or 4 for every SAM size).
+    # Schedule/placement only — numerics unchanged
+    pp_stages: int = 0
+    pp_microbatches: int = 4
 
     @property
     def grid(self) -> int:
@@ -198,6 +208,23 @@ def _block(bp: Params, x: jax.Array, cfg: SamEncoderConfig, window: int) -> jax.
 
 def sam_encoder(p: Params, x: jax.Array, cfg: SamEncoderConfig) -> jax.Array:
     """x: [B, img, img, 3] NHWC -> [B, grid, grid, out_chans]."""
+    if cfg.pp_stages > 1:
+        # GPipe over the registered mesh's `stage` axis; AD differentiates
+        # through the pipeline schedule, so training steps use this path
+        # unchanged (cor_tpu.parallel.pipeline)
+        from cor_tpu.parallel.pipeline import pipelined_sam_encoder
+        from cor_tpu.parallel.sharding import get_activation_mesh
+
+        mesh = get_activation_mesh()
+        if mesh is None or "stage" not in mesh.shape:
+            raise ValueError(
+                "pp_stages > 1 needs set_activation_mesh(make_mesh(stage=S)) "
+                "before the first traced step (the Trainer does this when "
+                "TrainConfig.mesh_stage > 1)"
+            )
+        return pipelined_sam_encoder(
+            p, x, cfg, mesh, cfg.pp_microbatches, n_stages=cfg.pp_stages
+        )
     x = _patch_embed(p["patch_embed"], x, cfg.patch_size)
     if cfg.use_abs_pos:
         x = x + p["pos_embed"].astype(x.dtype)

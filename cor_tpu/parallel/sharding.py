@@ -76,6 +76,14 @@ def set_activation_mesh(mesh: Mesh | None) -> None:
     _ACTIVATION_MESH = mesh
 
 
+def get_activation_mesh() -> Mesh | None:
+    """The mesh registered by set_activation_mesh (None if unset). Consumed
+    by seq_shard_constraint and by the pipelined SAM encoder
+    (SamEncoderConfig.pp_stages > 1), both of which bake mesh context at
+    trace time."""
+    return _ACTIVATION_MESH
+
+
 def seq_shard_constraint(x, seq_axis: int = 1):
     """Constrain x's token axis over the mesh's `model` axis (and its batch
     axis over `data` when divisible). No-op when no activation mesh is

@@ -65,11 +65,13 @@ class Trainer:
         self.cfg = cfg
         self.core_cfg = cfg.core_config()
         self.mesh = mesh if mesh is not None else make_mesh(
-            data=cfg.mesh_data, model=cfg.mesh_model
+            data=cfg.mesh_data, model=cfg.mesh_model,
+            stage=getattr(cfg, "mesh_stage", 1),
         )
-        if getattr(cfg, "seq_shard", False):
-            # sequence-parallel activation constraints are baked at trace
-            # time — register the mesh before the first jitted step
+        if getattr(cfg, "seq_shard", False) or getattr(cfg, "mesh_stage", 1) > 1:
+            # sequence-parallel constraints AND the pipelined encoder's
+            # shard_map both bake mesh context at trace time — register the
+            # mesh before the first jitted step
             from cor_tpu.parallel import set_activation_mesh
 
             set_activation_mesh(self.mesh)
@@ -304,7 +306,14 @@ class Trainer:
         # n_data=8, accum=4 -> lcm 8 -> 2-row microbatches on an 8-way axis).
         n_data = self.mesh.shape[DATA_AXIS]
         accum = max(getattr(self.cfg, "grad_accum", 1), 1)
-        multiple = n_data * accum
+        # with pipeline parallelism every gpipe microbatch must itself shard
+        # over the data axis: B % (pp_microbatches * n_data) == 0
+        pp_m = (
+            max(getattr(self.cfg, "pp_microbatches", 1), 1)
+            if getattr(self.cfg, "mesh_stage", 1) > 1
+            else 1
+        )
+        multiple = n_data * accum * pp_m
         target = -(-self.cfg.batch_size // multiple) * multiple
         n = out[keep[0]].shape[0]
         size = -(-max(n, target) // multiple) * multiple

@@ -85,6 +85,114 @@ def test_pipelined_sam_encoder_matches_sequential(key, rng):
     np.testing.assert_allclose(np.asarray(pp), np.asarray(ref), atol=1e-5, rtol=1e-5)
 
 
+def test_gpipe_gradients_match_sequential(key):
+    """JAX AD differentiates THROUGH the pipeline schedule (the scan/
+    ppermute transpose): d(loss)/d(stage weights) and d(loss)/d(input) of
+    the gpipe forward == the sequential chain's gradients."""
+    mesh = make_mesh(data=4, model=1, stage=2)
+    S, B, M = 2, 8, 2
+    ws = jax.random.normal(key, (S, 16, 16)) * 0.3
+    x = jax.random.normal(jax.random.fold_in(key, 1), (B, 16))
+
+    def stage_fn(w, xx):
+        return jnp.tanh(xx @ w)
+
+    def loss_seq(ws, x):
+        for s in range(S):
+            x = stage_fn(ws[s], x)
+        return jnp.sum(x**2)
+
+    def loss_pp(ws, x):
+        return jnp.sum(gpipe(stage_fn, ws, x, mesh, n_microbatches=M) ** 2)
+
+    (l_s, (gw_s, gx_s)) = jax.value_and_grad(loss_seq, argnums=(0, 1))(ws, x)
+    (l_p, (gw_p, gx_p)) = jax.jit(jax.value_and_grad(loss_pp, argnums=(0, 1)))(ws, x)
+    np.testing.assert_allclose(float(l_p), float(l_s), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_s), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_s), atol=1e-5, rtol=1e-5)
+
+
+def test_pipelined_train_step_matches_sequential(key, rng):
+    """The FULL train step (loss + backward + optimizer update) with the
+    encoder pipelined over `stage` (TrainConfig.mesh_stage semantics:
+    pp_stages baked into SamEncoderConfig) produces the same loss, gradient
+    norm, and updated parameters as the sequential step — pipeline
+    parallelism is trainable, not forward-only. freeze_towers=False so
+    encoder gradients really flow through the scan/ppermute schedule."""
+    from cor_tpu.models.core_model import init_core_model
+    from cor_tpu.parallel import set_activation_mesh
+    from cor_tpu.train.optim import make_optimizer
+    from cor_tpu.train.step import create_train_state, make_train_step
+    from tests.helpers import tiny_batch, tiny_core_config
+
+    mesh = make_mesh(data=4, model=1, stage=2)
+    cfg_seq = tiny_core_config(
+        freeze_towers=False, encoder_override=PP_ENCODER
+    )
+    cfg_pp = tiny_core_config(
+        freeze_towers=False,
+        encoder_override=dataclasses.replace(
+            PP_ENCODER, pp_stages=2, pp_microbatches=2
+        ),
+    )
+    params = init_core_model(key, cfg_seq)  # pp fields don't touch params
+    # SGD: the update is LINEAR in the gradient, so post-update param parity
+    # below IS gradient parity. (AdamW's first step is ~ lr*sign(g), which
+    # amplifies float-reassociation noise on near-zero gradients into ~lr
+    # param diffs — measured 2.3e-4 — without any real disparity.)
+    tx, _ = make_optimizer(
+        params, optimizer="SGD", lr=1e-3, freeze_towers=False
+    )
+
+    batch = {k: jnp.asarray(v) for k, v in tiny_batch(rng, batch=8).items()}
+    batch["valid"] = jnp.ones((8,), jnp.float32)
+    rng_key = jax.random.PRNGKey(3)
+    lr = jnp.float32(1e-3)
+
+    # the jitted step donates its state: each run gets its own param copy
+    # (host originals kept for the did-the-encoder-move check below)
+    params_host = jax.tree.map(np.asarray, params)
+    fresh = lambda: jax.tree.map(jnp.asarray, params_host)
+
+    seq_state, seq_metrics = make_train_step(cfg_seq, tx)(
+        create_train_state(fresh(), tx), batch, rng_key, lr
+    )
+
+    set_activation_mesh(mesh)
+    try:
+        pp_state, pp_metrics = make_train_step(cfg_pp, tx)(
+            create_train_state(fresh(), tx), batch, rng_key, lr
+        )
+    finally:
+        set_activation_mesh(None)
+
+    # same dropout keys on both sides (same rng, same step), so losses,
+    # grad norms and updated params must agree to float tolerance
+    np.testing.assert_allclose(
+        float(pp_metrics["total_loss"]), float(seq_metrics["total_loss"]),
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        float(pp_metrics["grad_norm"]), float(seq_metrics["grad_norm"]),
+        rtol=1e-4,
+    )
+    flat_s = jax.tree.leaves(seq_state.params)
+    flat_p = jax.tree.leaves(pp_state.params)
+    for a, b in zip(flat_p, flat_s):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-5
+        )
+    # and the encoder REALLY got gradients (not a silently-frozen tower)
+    enc_delta = sum(
+        float(np.abs(np.asarray(a) - b).sum())
+        for a, b in zip(
+            jax.tree.leaves(pp_state.params["image_encoder"]),
+            jax.tree.leaves(params_host["image_encoder"]),
+        )
+    )
+    assert enc_delta > 0.0
+
+
 def test_gpipe_requires_stage_axis(key):
     mesh = make_mesh()  # (8, 1): no stage axis
     with pytest.raises(ValueError, match="stage"):

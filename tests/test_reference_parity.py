@@ -567,21 +567,47 @@ def test_training_gradient_parity(monkeypatch):
     )
 
 
-def test_training_trajectory_parity(monkeypatch, tmp_path):
-    """SIX optimizer steps (2 epochs x 3 batches) of the reference's actual
-    loop semantics — AdamW (my_train_a.py:131), per-element value clip 0.5
+@pytest.mark.parametrize(
+    "optimizer,scheduler,epochs,steps_per_epoch",
+    [
+        # extended-horizon flagship branch: 20 optimizer steps (VERDICT r3
+        # item 4 — 6 was short for drift accumulation)
+        ("AdamW", "CosineAnnealingLR", 4, 5),
+        # reference's other optimizer families (my_train_a.py:124-139)
+        ("Adam", "ExponentialLR", 2, 3),
+        ("SGD", "StepLR", 2, 3),
+        # the timm warmup branch: its step placement differs
+        # (scheduler.step(epoch) vs .step(); my_train_a.py:256-257), and 7
+        # epochs cross the 5-epoch warmup boundary mid-run
+        ("AdamW", "TimmCosineLRScheduler", 7, 2),
+    ],
+)
+def test_training_trajectory_parity(
+    monkeypatch, tmp_path, optimizer, scheduler, epochs, steps_per_epoch
+):
+    """Multi-step optimizer trajectories of the reference's actual loop
+    semantics — optimizer {AdamW, Adam, SGD+momentum 0.9}
+    (my_train_a.py:124-139), per-element value clip 0.5
     (utils/utils.py:121-133, applied under DDP trainer_v3_g.py:78-79),
-    CosineAnnealingLR stepped once per epoch BEFORE training
-    (my_train_a.py:252-259), reference freezing — against the REAL
-    Trainer.train_epoch driving the jitted train step on the 8-device mesh
-    (including its pad-to-mesh valid masking), on identical synthetic
-    batches. Asserts the per-step loss trajectory and the final
-    trainable-parameter drift match (VERDICT r2 missing #1b).
+    scheduler stepped once per epoch BEFORE training with the timm branch's
+    different placement (my_train_a.py:252-259), reference freezing —
+    against the REAL Trainer.train_epoch driving the jitted train step on
+    the 8-device mesh (including its pad-to-mesh valid masking), on
+    identical synthetic batches. Asserts the per-step loss trajectory and
+    the final trainable-parameter drift match.
+
+    The StepLR branch drives the torch side with the reference's own
+    adjust_lr (utils/utils.py:136-139); the timm branch reimplements
+    CosineLRScheduler(warmup_prefix=True).step(epoch) inline (timm is not
+    installed in this environment — formula from
+    timm/scheduler/cosine_lr.py, values pinned in test_optim_schedules too).
 
     Dropout is off on both sides (torch .eval(); core_forward key forced to
-    None) — dropout draws are framework randomness, not loop semantics.
+    None) — dropout draws are framework randomness, not loop semantics; the
+    dropout-ON statistical check is test_dropout_on_loss_distribution_parity.
     """
     import logging
+    import math
 
     import torch.nn.functional as F
 
@@ -590,7 +616,7 @@ def test_training_trajectory_parity(monkeypatch, tmp_path):
         fg_feat_similarity_loss as ref_fg,
         wbce_with_wiou_loss as ref_wbce,
     )
-    from utils.utils import clip_gradient as ref_clip
+    from utils.utils import adjust_lr as ref_adjust_lr, clip_gradient as ref_clip
 
     from cor_tpu.config import TrainConfig
     from cor_tpu.train.optim import make_optimizer
@@ -599,7 +625,8 @@ def test_training_trajectory_parity(monkeypatch, tmp_path):
     import cor_tpu.train.step as step_mod
     import cor_tpu.models.support_branch as cor_sb_mod
 
-    LR, EPOCHS, STEPS = 1e-3, 2, 3
+    LR, EPOCHS, STEPS = 1e-3, epochs, steps_per_epoch
+    DECAY_RATE, DECAY_EPOCH = 0.5, 1  # StepLR/adjust_lr knobs
     ref, sd, (B, D, G, image_feat, text_feat, grid_nchw), rng = _build_composite(monkeypatch)
     # sd_np's fp32 .numpy() views ALIAS the live torch parameters — snapshot
     # the initial state dict before training mutates it in place
@@ -654,11 +681,45 @@ def test_training_trajectory_parity(monkeypatch, tmp_path):
     for p in ref.mask_decoder.iou_prediction_head.parameters():
         p.requires_grad = False
     trainable = [p for p in ref.parameters() if p.requires_grad]
-    opt = torch.optim.AdamW(trainable, lr=LR)
-    sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=EPOCHS, eta_min=0.1 * LR)
+    if optimizer == "AdamW":
+        opt = torch.optim.AdamW(trainable, lr=LR)  # my_train_a.py:131
+    elif optimizer == "Adam":
+        opt = torch.optim.Adam(trainable, lr=LR)  # my_train_a.py:126
+    else:
+        opt = torch.optim.SGD(trainable, lr=LR, momentum=0.9)  # my_train_a.py:137
+
+    def set_epoch_lr(epoch):
+        """The reference's schedule-before-train placement
+        (my_train_a.py:252-259), per scheduler family."""
+        if scheduler == "CosineAnnealingLR":
+            sched.step()
+        elif scheduler == "ExponentialLR":
+            sched.step()
+        elif scheduler == "StepLR":
+            # the reference's own adjust_lr (utils/utils.py:136-139)
+            ref_adjust_lr(opt, LR, epoch, decay_rate=DECAY_RATE, decay_epoch=DECAY_EPOCH)
+        elif scheduler == "TimmCosineLRScheduler":
+            # timm CosineLRScheduler(t_initial=EPOCHS-5, lr_min=0.1*LR,
+            # warmup_t=5, warmup_lr_init=0.1*LR, warmup_prefix=True)
+            # .step(epoch) — my_train_a.py:156-164, 256-257; formula from
+            # timm/scheduler/cosine_lr.py (not installed here)
+            warm, lr_min = 5, 0.1 * LR
+            if epoch < warm:
+                lr_e = lr_min + epoch * (LR - lr_min) / warm
+            else:
+                t = min((epoch - warm) / max(EPOCHS - warm, 1), 1.0)
+                lr_e = lr_min + 0.5 * (LR - lr_min) * (1 + math.cos(math.pi * t))
+            for g in opt.param_groups:
+                g["lr"] = lr_e
+
+    sched = None
+    if scheduler == "CosineAnnealingLR":
+        sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=EPOCHS, eta_min=0.1 * LR)
+    elif scheduler == "ExponentialLR":
+        sched = torch.optim.lr_scheduler.ExponentialLR(opt, gamma=0.95)  # my_train_a.py:168
     ref_losses = []
     for epoch in range(1, EPOCHS + 1):
-        sched.step()  # non-timm branch: scheduler.step() BEFORE train_stage
+        set_epoch_lr(epoch)  # schedule BEFORE train_stage
         for b in batches:
             opt.zero_grad()
             pred, qemb, sfeat = ref(
