@@ -77,6 +77,83 @@ def process_lines(server, raw_lines):
             for kind, payload in entries]
 
 
+def serve_tcp(server, host: str, port: int, max_batch: int, ready_event=None):
+    """Multi-client TCP line-protocol front end: one JSON request per line,
+    one JSON response per line, per connection. A reader thread per client
+    feeds a single bounded queue; ONE dispatcher thread drains up to
+    max_batch queued requests — ACROSS clients — into each device dispatch,
+    so concurrent clients get cross-request micro-batching that the
+    stdin/stdout loop could only provide within one producer. Backpressure:
+    the bounded queue blocks readers, propagating to client sockets via TCP
+    flow control. Returns the bound (host, port) after listening starts."""
+    import queue
+    import socket
+    import threading
+
+    log = logging.getLogger("cor_tpu.serve")
+    inbox: "queue.Queue" = queue.Queue(maxsize=max(8, 4 * max_batch))
+    CLOSE = object()
+
+    def reader(conn, addr):
+        try:
+            f = conn.makefile("r", encoding="utf-8", errors="replace")
+            for line in f:
+                if line.strip():
+                    inbox.put((conn, line))
+        except Exception as e:
+            log.info("client %s reader ended: %s", addr, e)
+        finally:
+            inbox.put((conn, CLOSE))
+
+    def dispatcher():
+        while True:
+            conn, line = inbox.get()
+            batch = [(conn, line)]
+            while len(batch) < max_batch:
+                try:
+                    batch.append(inbox.get_nowait())
+                except queue.Empty:
+                    break
+            closes = [c for c, l in batch if l is CLOSE]
+            batch = [(c, l) for c, l in batch if l is not CLOSE]
+            if batch:
+                resps = process_lines(server, [l for _, l in batch])
+                # process_lines answers every non-blank line in order, and
+                # readers only enqueue non-blank lines — slots align
+                for (c, _), resp in zip(batch, resps):
+                    try:
+                        c.sendall((json.dumps(resp) + "\n").encode())
+                    except Exception as e:
+                        log.info("client write failed: %s", e)
+            for c in closes:
+                try:
+                    c.close()
+                except Exception:
+                    pass
+
+    threading.Thread(target=dispatcher, daemon=True).start()
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind((host, port))
+    srv.listen(64)
+    bound = srv.getsockname()
+    log.info("serving TCP on %s:%d (max_batch=%d)", bound[0], bound[1], max_batch)
+    if ready_event is not None:
+        ready_event.bound = bound
+        ready_event.set()
+    try:
+        while True:
+            conn, addr = srv.accept()
+            conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            threading.Thread(target=reader, args=(conn, addr), daemon=True).start()
+    except KeyboardInterrupt:
+        log.info("TCP server interrupted; closing")
+    finally:
+        srv.close()
+    return bound
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="cor_tpu retrieval server")
     parser.add_argument("--config", required=True)
@@ -101,6 +178,11 @@ def main(argv=None):
                              "instead of host-streaming rows per request")
     parser.add_argument("--self-test", type=int, default=0, metavar="N",
                         help="serve N synthetic requests and exit (smoke mode)")
+    parser.add_argument("--tcp", type=int, default=0, metavar="PORT",
+                        help="serve a multi-client TCP line protocol on this "
+                             "port instead of stdin/stdout (0 = stdio). "
+                             "Requests micro-batch ACROSS clients up to "
+                             "--max-batch per device dispatch")
     parser.add_argument("--max-batch", type=int, default=1, metavar="B",
                         help="micro-batch up to B already-queued requests "
                              "into one encode/scan/decode dispatch (power-of-"
@@ -162,6 +244,10 @@ def main(argv=None):
     while buckets[-1] < max_batch:
         buckets.append(buckets[-1] * 2)
     server.warmup(batch_buckets=buckets)
+
+    if args.tcp:
+        serve_tcp(server, "0.0.0.0", args.tcp, max_batch)
+        return
 
     if args.self_test:
         for start in range(0, args.self_test, max_batch):

@@ -83,6 +83,15 @@ def _kernel(
             qcat, kcat_ref[h], dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [Tq, N], rows pre-shifted to ~zero mean by the kcat shift
+        # NOTE (round-4 floor measurement): the VPU softmax tail is FREE
+        # here — replacing exp with a cast, or folding the row-sum into the
+        # AV GEMM via a ones column in v, both measured NEUTRAL at B=8
+        # (95.1 / 95.3 vs 95.0 ms encoder fwd): Mosaic fully overlaps the
+        # [Tq, N] exp/sum/cast with the MXU passes. The kernel is bound by
+        # the concat formulation's structural MXU cost (contraction 192 on
+        # global logits + the AV GEMM's head_dim/128 lane duty) — floor
+        # analysis in BASELINE.md. Kept in the original fp32-exp form so the
+        # forward weights match the flash backward's fp32 recompute exactly.
         e = jnp.exp(l)
         s = jnp.sum(e, axis=-1, keepdims=True)
         # normalize AFTER the AV GEMM: one [Tq, head_dim] multiply instead
@@ -253,8 +262,10 @@ def _vit_attention_relpos_pallas_impl(
     eh_t = _pad_cols(eh.T.astype(dt), Khp)  # [N, Khp]
     ew_t = _pad_cols(ew.T.astype(dt), Kwp)  # [N, Kwp]
 
+    import os
+    tq_cap = int(os.environ.get("COR_TPU_VIT_TQ", "512"))
     tq = N
-    while tq > 512 and N % (tq // 2) == 0 and tq % 2 == 0:
+    while tq > tq_cap and N % (tq // 2) == 0 and tq % 2 == 0:
         tq //= 2
 
     out = pl.pallas_call(

@@ -34,6 +34,14 @@ def main():
     ap.add_argument("--batch", type=int, default=8,
                     help="also A/B micro-batched serving (handle_batch) at "
                          "this batch size; 1 disables")
+    ap.add_argument("--tcp-clients", type=int, default=0,
+                    help="also bench the TCP front end: N concurrent "
+                         "closed-loop clients vs 1, sustained req/s + "
+                         "p50/p95 (0 disables)")
+    ap.add_argument("--only-tcp", action="store_true",
+                    help="skip the stdio A/B benches (their startup+warmup "
+                         "compiles dominate wall time when only the TCP "
+                         "numbers are wanted)")
     args = ap.parse_args()
 
     sys.path.insert(0, str(Path(__file__).parent.parent))
@@ -107,12 +115,90 @@ def main():
         )
         return lat
 
-    bench("host-stream", store_hbm=False)
-    bench("store-hbm", store_hbm=True)
-    if args.batch > 1:
-        # micro-batching A/B on the HBM-resident mode (the deployment mode):
-        # one encode/scan/decode dispatch for B queued requests
-        bench("store-hbm", store_hbm=True, batch=args.batch)
+    _tcp_state = {}
+
+    def bench_tcp(n_clients: int, per_client: int):
+        """Concurrent-client serving over the TCP front end: n_clients
+        closed-loop clients (each sends a request, waits for its response,
+        repeats) against ONE shared server whose dispatcher micro-batches
+        across clients. Reports sustained req/s + per-request p50/p95. The
+        server (and its warmup compiles) is built once and reused across
+        client counts."""
+        import json as _json
+        import socket
+        import threading
+
+        from cor_tpu.cli.serve import serve_tcp
+
+        if not _tcp_state:
+            out = Path("/tmp/serve_bench_tcp")
+            server = RetrievalServer(
+                cfg, params, index, k=args.k, decode_dir=str(out), store_hbm=True,
+            )
+            buckets = [1]
+            while buckets[-1] < args.batch:
+                buckets.append(buckets[-1] * 2)
+            server.warmup(batch_buckets=buckets)
+            ev = threading.Event()
+            threading.Thread(
+                target=serve_tcp,
+                args=(server, "127.0.0.1", 0, args.batch, ev),
+                daemon=True,
+            ).start()
+            ev.wait(timeout=30)
+            _tcp_state["bound"] = ev.bound
+        host, port = _tcp_state["bound"]
+
+        lats: list = [[] for _ in range(n_clients)]
+
+        def client(ci: int):
+            s = socket.create_connection((host, port))
+            s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            f = s.makefile("r")
+            for r in range(per_client):
+                t0 = time.perf_counter()
+                # seeds cycle through a small set (the server memoizes
+                # synthetic assembly): the measurement targets the serving
+                # stack + device, not host randn of synthetic pixels — a
+                # production request's assembly is a 384^2 JPEG decode
+                s.sendall(
+                    (_json.dumps({"id": f"c{ci}r{r}", "synthetic": (ci * 5 + r) % 16}) + "\n").encode()
+                )
+                resp = _json.loads(f.readline())
+                assert resp.get("error") is None, resp
+                assert len(resp["masks"]) == args.k
+                lats[ci].append(time.perf_counter() - t0)
+            s.close()
+
+        threads = [threading.Thread(target=client, args=(ci,)) for ci in range(n_clients)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        all_lat = np.concatenate([np.asarray(l) for l in lats]) * 1e3
+        total = n_clients * per_client
+        print(
+            f"tcp clients={n_clients:<2d} sustained {total / wall:6.1f} req/s | "
+            f"per-request p50 {np.percentile(all_lat, 50):7.1f} ms  "
+            f"p95 {np.percentile(all_lat, 95):7.1f} ms  (n={total}, k={args.k}, "
+            f"max_batch={args.batch})"
+        )
+
+    if not args.only_tcp:
+        bench("host-stream", store_hbm=False)
+        bench("store-hbm", store_hbm=True)
+        if args.batch > 1:
+            # micro-batching A/B on the HBM-resident mode (the deployment
+            # mode): one encode/scan/decode dispatch for B queued requests
+            bench("store-hbm", store_hbm=True, batch=args.batch)
+    if args.tcp_clients:
+        # sequential baseline then the concurrent fleet: closed-loop clients
+        # can only batch when >1 are in flight, so the delta IS the value of
+        # cross-client micro-batching
+        bench_tcp(1, args.requests)
+        bench_tcp(args.tcp_clients, max(1, args.requests // args.tcp_clients) * 2)
 
 
 if __name__ == "__main__":
