@@ -62,6 +62,11 @@ def main():
     ap.add_argument("--trace", default=None)
     ap.add_argument("--no-fused", action="store_true")
     ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--window-in-kernel", action="store_true",
+                    help="fused_window_indexing=True: fold the window "
+                         "partition into the kernel's block index maps "
+                         "(measured SLOWER on sam_base — negative result #5; "
+                         "flag kept for per-size re-measurement)")
     args = ap.parse_args()
 
     sys.path.insert(0, str(Path(__file__).parent.parent))
@@ -84,6 +89,7 @@ def main():
         args.model,
         fused_attention=not args.no_fused,
         remat_blocks=not args.no_remat,
+        fused_window_indexing=args.window_in_kernel,
     )
     B, iters = args.b, args.iters
     rng = np.random.default_rng(0)
