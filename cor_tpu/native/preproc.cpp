@@ -27,8 +27,11 @@ namespace {
 
 constexpr int PRECISION_BITS = 32 - 8 - 2;
 
-inline uint8_t clip8(int64_t in) {
-    if (in >= (1LL << PRECISION_BITS << 8)) return 255;
+// int32 accumulators, exactly like Pillow's own `int ss0` in
+// ImagingResampleHorizontal_8bpc: worst case 255 * sum(kk) + rounding
+// ≈ 255 * 2^22 * (1+eps) < 2^31, and half the SIMD width of int64.
+inline uint8_t clip8(int32_t in) {
+    if (in >= (1 << PRECISION_BITS << 8)) return 255;
     if (in <= 0) return 0;
     return static_cast<uint8_t>(in >> PRECISION_BITS);
 }
@@ -92,31 +95,49 @@ void resample_h(const uint8_t* src, int h, int w, int ch, uint8_t* dst, int ow,
         for (int xx = 0; xx < ow; ++xx) {
             int xmin = c.bounds[xx * 2], xmax = c.bounds[xx * 2 + 1];
             const int* k = &c.kk[static_cast<size_t>(xx) * c.ksize];
-            for (int b = 0; b < ch; ++b) {
-                int64_t ss0 = 1LL << (PRECISION_BITS - 1);
-                for (int x = 0; x < xmax; ++x)
-                    ss0 += static_cast<int64_t>(row[(xmin + x) * ch + b]) * k[x];
-                orow[xx * ch + b] = clip8(ss0);
+            if (ch == 3) {  // RGB fast path: 3 accumulators per tap read
+                int32_t s0 = 1 << (PRECISION_BITS - 1), s1 = s0, s2 = s0;
+                const uint8_t* p = row + static_cast<size_t>(xmin) * 3;
+                for (int x = 0; x < xmax; ++x, p += 3) {
+                    s0 += p[0] * k[x];
+                    s1 += p[1] * k[x];
+                    s2 += p[2] * k[x];
+                }
+                orow[xx * 3 + 0] = clip8(s0);
+                orow[xx * 3 + 1] = clip8(s1);
+                orow[xx * 3 + 2] = clip8(s2);
+            } else {
+                for (int b = 0; b < ch; ++b) {
+                    int32_t ss0 = 1 << (PRECISION_BITS - 1);
+                    for (int x = 0; x < xmax; ++x)
+                        ss0 += row[(xmin + x) * ch + b] * k[x];
+                    orow[xx * ch + b] = clip8(ss0);
+                }
             }
         }
     }
 }
 
-// vertical pass: [h, w, ch] u8 -> [oh, w, ch] u8
+// vertical pass: [h, w, ch] u8 -> [oh, w, ch] u8, written as per-tap AXPY
+// over a contiguous int32 row accumulator so -O3 vectorizes the inner loop
 void resample_v(const uint8_t* src, int h, int w, int ch, uint8_t* dst, int oh,
                 const Coeffs& c) {
+    const int row_elems = w * ch;
+    std::vector<int32_t> acc(row_elems);
     for (int yy = 0; yy < oh; ++yy) {
         int ymin = c.bounds[yy * 2], ymax = c.bounds[yy * 2 + 1];
         const int* k = &c.kk[static_cast<size_t>(yy) * c.ksize];
-        uint8_t* orow = dst + static_cast<size_t>(yy) * w * ch;
-        for (int xx = 0; xx < w * ch; ++xx) {
-            int64_t ss0 = 1LL << (PRECISION_BITS - 1);
-            for (int y = 0; y < ymax; ++y)
-                ss0 += static_cast<int64_t>(
-                           src[static_cast<size_t>(ymin + y) * w * ch + xx]) *
-                       k[y];
-            orow[xx] = clip8(ss0);
+        for (int xx = 0; xx < row_elems; ++xx)
+            acc[xx] = 1 << (PRECISION_BITS - 1);
+        for (int y = 0; y < ymax; ++y) {
+            const uint8_t* srow = src + static_cast<size_t>(ymin + y) * row_elems;
+            const int32_t ky = k[y];
+            for (int xx = 0; xx < row_elems; ++xx)
+                acc[xx] += srow[xx] * ky;
         }
+        uint8_t* orow = dst + static_cast<size_t>(yy) * row_elems;
+        for (int xx = 0; xx < row_elems; ++xx)
+            orow[xx] = clip8(acc[xx]);
     }
 }
 
