@@ -193,6 +193,75 @@ def test_pipelined_train_step_matches_sequential(key, rng):
     assert enc_delta > 0.0
 
 
+def test_trainer_mesh_stage_plumbing(key, rng, tmp_path):
+    """TrainConfig.mesh_stage=2 drives the REAL Trainer end-to-end: the
+    trainer builds the (data, model, stage) mesh, registers it for the
+    pipelined encoder, pads batches to n_data * grad_accum * pp_microbatches,
+    and one training epoch on a synthetic loader produces finite losses —
+    the config-file path to pipeline parallelism, not just the raw step."""
+    import logging
+
+    from cor_tpu.config import TrainConfig
+    from cor_tpu.models.core_model import init_core_model
+    from cor_tpu.parallel import set_activation_mesh
+    from cor_tpu.train.optim import make_optimizer
+    from cor_tpu.train.step import create_train_state, make_train_step
+    from cor_tpu.train.trainer import Trainer
+    from tests.helpers import tiny_batch, tiny_core_config
+
+    tcfg = TrainConfig(
+        epoch=1, lr=1e-3, batch_size=4, optimizer="SGD", lr_scheduler="None",
+        mesh_data=4, mesh_model=1, mesh_stage=2, pp_microbatches=2,
+        train_model_save_epoch=99, batch_record_interval=1,
+        train_model_save_path=str(tmp_path), compute_dtype="float32",
+        freeze_towers=False,
+    )
+    # flagship-sized cfg from core_config() is too big for CPU: substitute
+    # the tiny PP-able encoder AFTER construction, the same pattern the
+    # trajectory-parity test uses for its scaled-down composite
+    core_cfg = tiny_core_config(
+        freeze_towers=False,
+        encoder_override=dataclasses.replace(
+            PP_ENCODER, pp_stages=2, pp_microbatches=2
+        ),
+    )
+    params = init_core_model(key, core_cfg)
+    tx, schedule = make_optimizer(
+        params, optimizer="SGD", lr=1e-3, freeze_towers=False
+    )
+    state = create_train_state(params, tx)
+    try:
+        trainer = Trainer(tcfg, state, tx, schedule, logging.getLogger("pp"))
+        # the trainer built the 3-axis mesh and registered it at trace scope
+        assert dict(trainer.mesh.shape) == {"data": 4, "model": 1, "stage": 2}
+        from cor_tpu.parallel.sharding import get_activation_mesh
+
+        assert get_activation_mesh() is trainer.mesh
+        trainer.core_cfg = core_cfg
+        trainer.train_step = make_train_step(core_cfg, tx)
+
+        # batch padding multiple = n_data * grad_accum * pp_microbatches =
+        # 4*1*2 = 8: a 3-row partial batch pads to 8 with a valid mask
+        db = trainer._device_batch(
+            {k: v[:3] for k, v in tiny_batch(rng, batch=4).items()}
+        )
+        assert db["query_img"].shape[0] == 8
+        np.testing.assert_array_equal(db["valid"], [1, 1, 1, 0, 0, 0, 0, 0])
+
+        class Loader:
+            def __len__(self):
+                return 2
+
+            def __iter__(self):
+                for s in range(2):
+                    yield tiny_batch(np.random.default_rng(s), batch=4)
+
+        loss = trainer.train_epoch(Loader(), epoch=1)
+        assert np.isfinite(loss)
+    finally:
+        set_activation_mesh(None)
+
+
 def test_gpipe_requires_stage_axis(key):
     mesh = make_mesh()  # (8, 1): no stage axis
     with pytest.raises(ValueError, match="stage"):
