@@ -117,7 +117,19 @@ def serve_tcp(server, host: str, port: int, max_batch: int, ready_event=None):
             closes = [c for c, l in batch if l is CLOSE]
             batch = [(c, l) for c, l in batch if l is not CLOSE]
             if batch:
-                resps = process_lines(server, [l for _, l in batch])
+                try:
+                    resps = process_lines(server, [l for _, l in batch])
+                except Exception as e:
+                    # process_lines already isolates per-request and whole-
+                    # batch failures; anything escaping is a server bug —
+                    # answer the batch with errors instead of silently
+                    # killing the dispatcher thread (which would hang every
+                    # connected client forever)
+                    log.exception("dispatcher batch failed: %s", e)
+                    resps = [
+                        {"id": None, "error": f"internal: {type(e).__name__}"}
+                        for _ in batch
+                    ]
                 # process_lines answers every non-blank line in order, and
                 # readers only enqueue non-blank lines — slots align
                 for (c, _), resp in zip(batch, resps):
