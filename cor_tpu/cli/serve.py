@@ -77,15 +77,40 @@ def process_lines(server, raw_lines):
             for kind, payload in entries]
 
 
+def power_of_two_buckets(max_batch: int) -> list:
+    """[1, 2, 4, ..., >= max_batch] — the warmup bucket ladder shared by the
+    CLI loops and benches (one policy, one place: a missed copy reintroduces
+    JIT compiles inside timed/served regions)."""
+    buckets = [1]
+    while buckets[-1] < max_batch:
+        buckets.append(buckets[-1] * 2)
+    return buckets
+
+
+MAX_LINE_BYTES = 1 << 20  # TCP clients are untrusted: cap request lines
+
+
 def serve_tcp(server, host: str, port: int, max_batch: int, ready_event=None):
     """Multi-client TCP line-protocol front end: one JSON request per line,
     one JSON response per line, per connection. A reader thread per client
-    feeds a single bounded queue; ONE dispatcher thread drains up to
+    feeds a single bounded inbox; ONE dispatcher thread drains up to
     max_batch queued requests — ACROSS clients — into each device dispatch,
     so concurrent clients get cross-request micro-batching that the
-    stdin/stdout loop could only provide within one producer. Backpressure:
-    the bounded queue blocks readers, propagating to client sockets via TCP
-    flow control. Returns the bound (host, port) after listening starts."""
+    stdin/stdout loop could only provide within one producer.
+
+    Isolation against untrusted/slow clients:
+    - request lines are capped at MAX_LINE_BYTES (a newline-less stream
+      cannot grow host memory; the connection is dropped);
+    - responses go through a bounded PER-CONNECTION outbox drained by a
+      writer thread — a client that stops reading fills its own outbox and
+      is disconnected, instead of a blocking sendall freezing the shared
+      dispatcher (head-of-line blocking every other client);
+    - inbox backpressure still propagates to well-behaved clients via TCP
+      flow control (readers block on the bounded inbox).
+
+    Returns the bound (host, port) after listening starts; binding defaults
+    to loopback at the CLI (--tcp-host to expose — requests carry
+    client-chosen FILE PATHS, so only trusted networks should reach this)."""
     import queue
     import socket
     import threading
@@ -94,21 +119,78 @@ def serve_tcp(server, host: str, port: int, max_batch: int, ready_event=None):
     inbox: "queue.Queue" = queue.Queue(maxsize=max(8, 4 * max_batch))
     CLOSE = object()
 
-    def reader(conn, addr):
+    class Client:
+        def __init__(self, conn, addr):
+            self.conn = conn
+            self.addr = addr
+            self.outbox: "queue.Queue" = queue.Queue(maxsize=max(16, 8 * max_batch))
+            self.dead = False
+
+        def send(self, resp: dict):
+            """Dispatcher-side: enqueue without ever blocking; a full outbox
+            means the client stopped reading — drop it."""
+            if self.dead:
+                return
+            try:
+                self.outbox.put_nowait(resp)
+            except queue.Full:
+                log.info("client %s not consuming responses; dropping", self.addr)
+                self.kill()
+
+        def kill(self):
+            self.dead = True
+            try:
+                self.outbox.put_nowait(None)
+            except queue.Full:
+                # writer is alive but behind: it will hit the closed socket
+                pass
+            try:
+                self.conn.close()
+            except Exception:
+                pass
+
+    def writer(client: Client):
+        while True:
+            resp = client.outbox.get()
+            if resp is None or client.dead:
+                return
+            try:
+                client.conn.sendall((json.dumps(resp) + "\n").encode())
+            except Exception as e:
+                log.info("client %s write failed: %s", client.addr, e)
+                client.kill()
+                return
+
+    def reader(client: Client):
+        buf = b""
         try:
-            f = conn.makefile("r", encoding="utf-8", errors="replace")
-            for line in f:
-                if line.strip():
-                    inbox.put((conn, line))
+            while True:
+                chunk = client.conn.recv(65536)
+                if not chunk:
+                    break
+                buf += chunk
+                while True:
+                    nl = buf.find(b"\n")
+                    if nl < 0:
+                        break
+                    line = buf[:nl].decode("utf-8", errors="replace")
+                    buf = buf[nl + 1:]
+                    if line.strip():
+                        inbox.put((client, line))
+                if len(buf) > MAX_LINE_BYTES:
+                    log.info("client %s exceeded %d-byte line cap; dropping",
+                             client.addr, MAX_LINE_BYTES)
+                    break
         except Exception as e:
-            log.info("client %s reader ended: %s", addr, e)
+            if not client.dead:
+                log.info("client %s reader ended: %s", client.addr, e)
         finally:
-            inbox.put((conn, CLOSE))
+            inbox.put((client, CLOSE))
 
     def dispatcher():
         while True:
-            conn, line = inbox.get()
-            batch = [(conn, line)]
+            client, line = inbox.get()
+            batch = [(client, line)]
             while len(batch) < max_batch:
                 try:
                     batch.append(inbox.get_nowait())
@@ -133,15 +215,9 @@ def serve_tcp(server, host: str, port: int, max_batch: int, ready_event=None):
                 # process_lines answers every non-blank line in order, and
                 # readers only enqueue non-blank lines — slots align
                 for (c, _), resp in zip(batch, resps):
-                    try:
-                        c.sendall((json.dumps(resp) + "\n").encode())
-                    except Exception as e:
-                        log.info("client write failed: %s", e)
+                    c.send(resp)
             for c in closes:
-                try:
-                    c.close()
-                except Exception:
-                    pass
+                c.kill()
 
     threading.Thread(target=dispatcher, daemon=True).start()
 
@@ -158,7 +234,9 @@ def serve_tcp(server, host: str, port: int, max_batch: int, ready_event=None):
         while True:
             conn, addr = srv.accept()
             conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
-            threading.Thread(target=reader, args=(conn, addr), daemon=True).start()
+            client = Client(conn, addr)
+            threading.Thread(target=writer, args=(client,), daemon=True).start()
+            threading.Thread(target=reader, args=(client,), daemon=True).start()
     except KeyboardInterrupt:
         log.info("TCP server interrupted; closing")
     finally:
@@ -195,6 +273,10 @@ def main(argv=None):
                              "port instead of stdin/stdout (0 = stdio). "
                              "Requests micro-batch ACROSS clients up to "
                              "--max-batch per device dispatch")
+    parser.add_argument("--tcp-host", default="127.0.0.1", metavar="ADDR",
+                        help="TCP bind address (default loopback: requests "
+                             "carry client-chosen file paths, so expose "
+                             "beyond localhost only on trusted networks)")
     parser.add_argument("--max-batch", type=int, default=1, metavar="B",
                         help="micro-batch up to B already-queued requests "
                              "into one encode/scan/decode dispatch (power-of-"
@@ -252,13 +334,10 @@ def main(argv=None):
         rescore=args.rescore,
     )
     max_batch = max(1, args.max_batch)
-    buckets = [1]
-    while buckets[-1] < max_batch:
-        buckets.append(buckets[-1] * 2)
-    server.warmup(batch_buckets=buckets)
+    server.warmup(batch_buckets=power_of_two_buckets(max_batch))
 
     if args.tcp:
-        serve_tcp(server, "0.0.0.0", args.tcp, max_batch)
+        serve_tcp(server, args.tcp_host, args.tcp, max_batch)
         return
 
     if args.self_test:

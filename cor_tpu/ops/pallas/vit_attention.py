@@ -226,6 +226,21 @@ def vit_attention_relpos_windows_pallas(
     )(qkv, qkv, qkv, rel_h, rel_w, eh_t.astype(dt), ew_t.astype(dt))
 
 
+def _tq_cap() -> int:
+    """q-tile cap, default 512 — measured neutral across {256, 512, 1024} at
+    B=8 (BASELINE.md round-4 floor analysis); COR_TPU_VIT_TQ re-measures on
+    future Mosaic. Clamped to [8, 2048] and falls back on garbage values
+    (2048 exceeds the 48 MB scoped-VMEM limit at N=4096; 0/1 would divide
+    by zero in the halving loop)."""
+    import os
+
+    try:
+        cap = int(os.environ.get("COR_TPU_VIT_TQ", "512"))
+    except ValueError:
+        return 512
+    return max(8, min(cap, 2048))
+
+
 def _pad_cols(x: jax.Array, to: int) -> jax.Array:
     pad = to - x.shape[-1]
     if pad == 0:
@@ -262,10 +277,8 @@ def _vit_attention_relpos_pallas_impl(
     eh_t = _pad_cols(eh.T.astype(dt), Khp)  # [N, Khp]
     ew_t = _pad_cols(ew.T.astype(dt), Kwp)  # [N, Kwp]
 
-    import os
-    tq_cap = int(os.environ.get("COR_TPU_VIT_TQ", "512"))
     tq = N
-    while tq > tq_cap and N % (tq // 2) == 0 and tq % 2 == 0:
+    while tq > _tq_cap() and N % (tq // 2) == 0 and tq % 2 == 0:
         tq //= 2
 
     out = pl.pallas_call(
@@ -428,8 +441,9 @@ def _vit_attention_relpos_bwd(
     eh_t = _pad_cols(eh.T.astype(dt), Khp)
     ew_t = _pad_cols(ew.T.astype(dt), Kwp)
 
+    # same cap as the forward so a COR_TPU_VIT_TQ re-measurement covers both
     tq = N
-    while tq > 512 and N % (tq // 2) == 0 and tq % 2 == 0:
+    while tq > _tq_cap() and N % (tq // 2) == 0 and tq % 2 == 0:
         tq //= 2
 
     qspec = pl.BlockSpec((1, tq, 128), lambda i, j, t: (i, t, j), memory_space=pltpu.VMEM)

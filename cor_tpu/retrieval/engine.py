@@ -480,7 +480,10 @@ class RetrievalEngine:
         idx = jnp.take_along_axis(idx, order, axis=1)
         if not self.rescore:
             return scores, idx
-        return self._exact_rescore(np.asarray(query_embeddings), np.asarray(idx))
+        s, i = self._exact_rescore(np.asarray(query_embeddings), np.asarray(idx))
+        # keep the declared (jax.Array, jax.Array) contract regardless of the
+        # constructor's rescore flag — callers may feed these back on-device
+        return jnp.asarray(s), jnp.asarray(i)
 
     def _exact_rescore(
         self, queries: np.ndarray, pool_idx: np.ndarray

@@ -244,7 +244,7 @@ def test_rescore_recovers_int8_ranking_loss(rng):
     r8 = RetrievalEngine(mesh, k=k, quantize=True, approx=True, rescore=True)
     r8.set_gallery(gallery)
     assert r8.k_scan == 4 * k
-    rs, ri = r8.retrieve(jnp.asarray(queries))
+    rs, ri = map(np.asarray, r8.retrieve(jnp.asarray(queries)))
     rescored_overlap = overlap(ei, ri)
 
     # the pinning claims: rescore recovers the quantized scan's loss
@@ -606,6 +606,8 @@ def test_serve_tcp_multi_client():
 
     from cor_tpu.cli.serve import serve_tcp
 
+    import time
+
     class StubServer:
         def __init__(self):
             self.batch_sizes = []
@@ -614,6 +616,10 @@ def test_serve_tcp_multi_client():
         def handle_batch(self, reqs):
             with self.lock:
                 self.batch_sizes.append(len(reqs))
+            # a slow "device": requests from other closed-loop clients queue
+            # while this batch is in flight, so the NEXT dispatch must batch
+            # across clients — making the cross-client assertion below real
+            time.sleep(0.05)
             return [
                 {"id": r.get("id"), "echo": r.get("payload")} for r in reqs
             ]
@@ -656,10 +662,11 @@ def test_serve_tcp_multi_client():
         t.join(timeout=60)
     assert not errors, errors
     assert sum(srv.batch_sizes) == N_CLIENTS * PER
-    # concurrency smoke: with 4 closed-loop clients at least one device
-    # dispatch should have batched >1 request (not guaranteed per-run by
-    # scheduling, but over 100 requests on 4 connections it effectively is)
-    assert max(srv.batch_sizes) >= 1  # always true; recorded for inspection
+    # cross-client micro-batching REALLY happened: each 50 ms dispatch lets
+    # the other 3 closed-loop clients enqueue, so over 100 requests some
+    # dispatch must have drained more than one (a singleton-only dispatcher
+    # fails this)
+    assert max(srv.batch_sizes) > 1, srv.batch_sizes
 
     # malformed line: error for that slot only, connection stays usable
     s = socket.create_connection((host, port))

@@ -87,10 +87,9 @@ def main():
         # warm every power-of-two bucket up to `batch` (as cli/serve.py does):
         # a partial final batch (requests % batch != 0) rounds to a smaller
         # bucket and must not JIT-compile inside the timed region
-        buckets = [1]
-        while buckets[-1] < batch:
-            buckets.append(buckets[-1] * 2)
-        server.warmup(batch_buckets=buckets)
+        from cor_tpu.cli.serve import power_of_two_buckets
+
+        server.warmup(batch_buckets=power_of_two_buckets(batch))
         startup = time.perf_counter() - t0
         lat, sizes = [], []
         for i in range(0, args.requests, batch):
@@ -128,24 +127,25 @@ def main():
         import socket
         import threading
 
-        from cor_tpu.cli.serve import serve_tcp
+        from cor_tpu.cli.serve import power_of_two_buckets, serve_tcp
 
         if not _tcp_state:
             out = Path("/tmp/serve_bench_tcp")
             server = RetrievalServer(
                 cfg, params, index, k=args.k, decode_dir=str(out), store_hbm=True,
             )
-            buckets = [1]
-            while buckets[-1] < args.batch:
-                buckets.append(buckets[-1] * 2)
-            server.warmup(batch_buckets=buckets)
+            server.warmup(batch_buckets=power_of_two_buckets(args.batch))
             ev = threading.Event()
             threading.Thread(
                 target=serve_tcp,
                 args=(server, "127.0.0.1", 0, args.batch, ev),
                 daemon=True,
             ).start()
-            ev.wait(timeout=30)
+            if not ev.wait(timeout=30):
+                raise RuntimeError(
+                    "serve_tcp did not start listening within 30 s (server "
+                    "thread died before binding?)"
+                )
             _tcp_state["bound"] = ev.bound
         host, port = _tcp_state["bound"]
 
