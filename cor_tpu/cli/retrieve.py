@@ -65,7 +65,18 @@ def main(argv=None):
         help="two-stage retrieval: the device scan selects a 4x-widened "
              "candidate pool, then the pool is re-scored EXACTLY in fp32 on "
              "host and re-top-k'd — recovers the --approx/--int8 ranking "
-             "loss (accuracy matrix in BASELINE.md)",
+             "loss (accuracy matrix in BASELINE.md). Mutually exclusive "
+             "with --rerank, which ranks by decoded mask IoU instead",
+    )
+    parser.add_argument(
+        "--rescore-width", type=int, default=4, metavar="W",
+        help="first-stage pool width multiplier for --rescore (pool = W*k)",
+    )
+    parser.add_argument(
+        "--recall-target", type=float, default=None, metavar="R",
+        help="approx_max_k recall target for --approx (default 0.99; with "
+             "--rescore 0.999 — the two-stage residual is first-stage pool "
+             "misses, and the tighter target closes it for ~free)",
     )
     parser.add_argument(
         "--gallery-index",
@@ -80,6 +91,16 @@ def main(argv=None):
         help="also decode + report the top-1 candidate mask shape per query",
     )
     args = parser.parse_args(argv)
+    if args.rerank and args.rescore:
+        # the decode-reranked protocol replaces the scan's ranking with
+        # predicted-mask IoU, so the exact-fp32 second stage never runs —
+        # reporting "rescore" numbers that are really rerank-only misleads
+        # (advisor r4): refuse instead of silently ignoring one flag
+        parser.error(
+            "--rerank and --rescore are mutually exclusive: rerank ranks by "
+            "decoded mask IoU (the embedding-score rescore stage does not "
+            "apply). Run them separately to compare protocols."
+        )
 
     import jax
     import jax.numpy as jnp
@@ -174,11 +195,13 @@ def main(argv=None):
         result = evaluate_retrieval_with_index(
             core_cfg, params, loader, mesh, index, ks=ks, rerank=args.rerank,
             approx=args.approx, quantize=args.int8, rescore=args.rescore,
+            rescore_width=args.rescore_width, recall_target=args.recall_target,
         )
     else:
         result = evaluate_retrieval(
             core_cfg, params, loader, mesh, ks=ks, rerank=args.rerank,
             approx=args.approx, quantize=args.int8, rescore=args.rescore,
+            rescore_width=args.rescore_width, recall_target=args.recall_target,
         )
 
     if args.dump_top1:

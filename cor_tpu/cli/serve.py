@@ -149,10 +149,32 @@ def serve_tcp(server, host: str, port: int, max_batch: int, ready_event=None):
             except Exception:
                 pass
 
+        def finish(self):
+            """Graceful close: enqueue the sentinel WITHOUT marking dead, so
+            the writer drains every already-answered response before closing.
+            Pipelined clients that shutdown their write side (cat reqs |
+            nc -N) must still receive answers the server already produced —
+            the reader's CLOSE is FIFO-ordered after all their requests, and
+            the dispatcher sends a batch's responses before processing its
+            CLOSEs, so nothing is enqueued after the sentinel. Immediate
+            kill() remains the policy only for write errors and slow
+            consumers (full outbox)."""
+            if self.dead:
+                return
+            try:
+                self.outbox.put_nowait(None)
+            except queue.Full:
+                self.kill()  # outbox full == client stopped reading
+
     def writer(client: Client):
         while True:
             resp = client.outbox.get()
             if resp is None or client.dead:
+                if not client.dead:  # graceful drain finished: close now
+                    try:
+                        client.conn.close()
+                    except Exception:
+                        pass
                 return
             try:
                 client.conn.sendall((json.dumps(resp) + "\n").encode())
@@ -217,7 +239,7 @@ def serve_tcp(server, host: str, port: int, max_batch: int, ready_event=None):
                 for (c, _), resp in zip(batch, resps):
                     c.send(resp)
             for c in closes:
-                c.kill()
+                c.finish()
 
     threading.Thread(target=dispatcher, daemon=True).start()
 
@@ -256,9 +278,16 @@ def main(argv=None):
                         help="int8 per-row-quantized gallery scan (4x less "
                              "gallery HBM; accuracy measured in BASELINE.md)")
     parser.add_argument("--rescore", action="store_true",
-                        help="two-stage scan: 4x-widened device pool + exact "
+                        help="two-stage scan: widened device pool + exact "
                              "fp32 host rescore (recovers --approx/--int8 "
                              "ranking loss; matrix in BASELINE.md)")
+    parser.add_argument("--rescore-width", type=int, default=4, metavar="W",
+                        help="first-stage pool width multiplier for "
+                             "--rescore (pool = W*k)")
+    parser.add_argument("--recall-target", type=float, default=None,
+                        metavar="R",
+                        help="approx_max_k recall target for --approx "
+                             "(default 0.99; 0.999 with --rescore)")
     parser.add_argument("--decode-masks", default=None, metavar="DIR",
                         help="also decode + save top-k candidate masks "
                         "(requires an index built --with-store)")
@@ -332,6 +361,8 @@ def main(argv=None):
         tokenizer_path=cfg.tokenizer_path,
         store_hbm=args.store_hbm,
         rescore=args.rescore,
+        rescore_width=args.rescore_width,
+        recall_target=args.recall_target,
     )
     max_batch = max(1, args.max_batch)
     server.warmup(batch_buckets=power_of_two_buckets(max_batch))

@@ -21,6 +21,8 @@ from cor_tpu.parallel.sharding import (
     set_activation_mesh,
     shard_opt_state,
     shard_params,
+    stage_stacked_tp_specs,
+    stage_tp_constraint,
 )
 
 __all__ = [
@@ -42,4 +44,6 @@ __all__ = [
     "set_activation_mesh",
     "shard_opt_state",
     "shard_params",
+    "stage_stacked_tp_specs",
+    "stage_tp_constraint",
 ]

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from cor_tpu.parallel.mesh import DATA_AXIS, STAGE_AXIS
+from cor_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, STAGE_AXIS
 
 
 def split_stages(blocks: List, window_pattern: Sequence[int], n_stages: int):
@@ -125,12 +125,19 @@ def gpipe(
         out = jax.lax.psum(jnp.where(sid == S - 1, out, 0.0), STAGE_AXIS)
         return out
 
+    # Partial-manual shard_map: manual over stage (the ppermute schedule)
+    # and data (per-device microbatch rows); every OTHER mesh axis — `model`
+    # — stays under GSPMD auto-partitioning, so tensor-parallel weight
+    # shardings and activation constraints keep working INSIDE the pipelined
+    # stage body. This is how PP x TP x DP compose over one mesh.
+    manual = frozenset({STAGE_AXIS, DATA_AXIS}) & frozenset(mesh.axis_names)
     if hasattr(jax, "shard_map"):  # jax >= 0.8
         mapped = jax.shard_map(
             per_shard,
             mesh=mesh,
             in_specs=(P(STAGE_AXIS), P(None, DATA_AXIS)),
             out_specs=P(None, DATA_AXIS),
+            axis_names=manual,
             check_vma=False,
         )
     else:
@@ -142,6 +149,7 @@ def gpipe(
             in_specs=(P(STAGE_AXIS), P(None, DATA_AXIS)),
             out_specs=P(None, DATA_AXIS),
             check_rep=False,
+            auto=frozenset(mesh.axis_names) - manual,
         )
     out = mapped(stage_params, xm)
     return out.reshape(B, *x.shape[1:])
@@ -174,16 +182,43 @@ def pipelined_sam_encoder(
     # P('stage') spec over every leaf
     stage_tree = {f"b{j}": t for j, t in enumerate(stacked)}
 
+    tp = dict(mesh.shape).get(MODEL_AXIS, 1) > 1
+    if tp:
+        # PP x TP: constrain the stacked weights with the Megatron col/row
+        # specs shifted past the stage axis — gpipe's shard_map is manual
+        # only over stage/data, so GSPMD partitions each stage's GEMMs over
+        # its `model` group exactly as in the unpipelined TP path
+        from cor_tpu.parallel.sharding import stage_tp_constraint
+
+        stage_tree = stage_tp_constraint(mesh, stage_tree)
+
     x = _patch_embed(p["patch_embed"], x, cfg.patch_size)
     if cfg.use_abs_pos:
         x = x + p["pos_embed"].astype(x.dtype)
 
     def stage_fn(params, xx):
+        from cor_tpu.parallel.sharding import seq_shard_constraint
+
         for j, win in enumerate(stage_pattern):
             xx = _block(params[f"b{j}"], xx, cfg, win)
+            if tp and cfg.seq_shard:
+                # Megatron-SP inside the pipeline body: token axis over the
+                # auto `model` axis only (data/stage are manual here)
+                xx = seq_shard_constraint(xx, include_data=False)
         return xx
 
     x = gpipe(stage_fn, stage_tree, x, mesh, n_microbatches)
+    if tp:
+        # gather the token axis back off `model` before the neck: leaving the
+        # pipeline output H-sharded sends the 3x3 neck conv down GSPMD's
+        # spatial-halo path, whose weight-grad transpose double-counts the
+        # halo rows when the producer is a check_vma=False shard_map output
+        # (measured: neck.conv2.w grad exactly model-times too large). The
+        # gather is one all-gather of the [B, 64, 64, 256] map — noise next
+        # to the block stack it follows.
+        x = jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P(DATA_AXIS))
+        )
 
     n = p["neck"]
     x = conv2d(n["conv1"], x)

@@ -84,10 +84,15 @@ def get_activation_mesh() -> Mesh | None:
     return _ACTIVATION_MESH
 
 
-def seq_shard_constraint(x, seq_axis: int = 1):
+def seq_shard_constraint(x, seq_axis: int = 1, include_data: bool = True):
     """Constrain x's token axis over the mesh's `model` axis (and its batch
     axis over `data` when divisible). No-op when no activation mesh is
-    registered, the model axis is trivial, or the axis doesn't divide."""
+    registered, the model axis is trivial, or the axis doesn't divide.
+
+    ``include_data=False`` is for call sites INSIDE a partial-manual
+    shard_map whose manual axes include `data` (the gpipe body): there the
+    batch axis is already per-device and only the auto `model` axis may be
+    mentioned in a GSPMD constraint."""
     mesh = _ACTIVATION_MESH
     if mesh is None:
         return x
@@ -97,7 +102,7 @@ def seq_shard_constraint(x, seq_axis: int = 1):
     spec = [None] * x.ndim
     spec[seq_axis] = MODEL_AXIS
     d = dict(mesh.shape).get(DATA_AXIS, 1)
-    if seq_axis != 0 and d >= 1 and x.shape[0] % d == 0:
+    if include_data and seq_axis != 0 and d >= 1 and x.shape[0] % d == 0:
         spec[0] = DATA_AXIS
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
 
@@ -125,6 +130,50 @@ def param_sharding_rules(mesh: Mesh, params):
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def stage_stacked_tp_specs(mesh: Mesh, stage_tree):
+    """PartitionSpecs for a STAGE-STACKED block-param tree (leaves carry a
+    leading [S] axis, cor_tpu.parallel.pipeline.split_stages): the same
+    Megatron column/row rules as `param_sharding_rules`, shifted one axis
+    right, composed with `stage` on axis 0.
+
+    This is the PP x TP composition point: the stacked weights feed gpipe's
+    partial-manual shard_map (manual over stage/data, auto over model), so
+    the stage axis is consumed by the manual in_spec while the model-axis
+    sharding rides through to GSPMD, which partitions each stage's GEMMs
+    across its model group exactly as in the unpipelined TP path."""
+    from jax.sharding import PartitionSpec  # noqa: F401  (doc anchor)
+
+    m = dict(mesh.shape).get(MODEL_AXIS, 1)
+    from cor_tpu.parallel.mesh import STAGE_AXIS
+
+    def spec(path, leaf):
+        s = jax.tree_util.keystr(path)
+        shape = np.shape(leaf)
+        if m > 1 and len(shape) >= 2:
+            if s.endswith(_COL_W) and len(shape) == 3 and shape[2] % m == 0:
+                return P(STAGE_AXIS, None, MODEL_AXIS)
+            if s.endswith(_COL_B) and len(shape) == 2 and shape[1] % m == 0:
+                return P(STAGE_AXIS, MODEL_AXIS)
+            if s.endswith(_ROW_W) and len(shape) == 3 and shape[1] % m == 0:
+                return P(STAGE_AXIS, MODEL_AXIS, None)
+        return P(STAGE_AXIS)
+
+    return jax.tree_util.tree_map_with_path(spec, stage_tree)
+
+
+def stage_tp_constraint(mesh: Mesh, stage_tree):
+    """with_sharding_constraint a stage-stacked tree per
+    `stage_stacked_tp_specs` (trace-time placement for the jitted train
+    path, where the stack is built inside the traced function and a
+    device_put is unavailable)."""
+    specs = stage_stacked_tp_specs(mesh, stage_tree)
+    return jax.tree.map(
+        lambda x, s: jax.lax.with_sharding_constraint(x, NamedSharding(mesh, s)),
+        stage_tree,
+        specs,
+    )
 
 
 def shard_params(mesh: Mesh, params):

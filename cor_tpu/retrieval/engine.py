@@ -370,7 +370,7 @@ class RetrievalEngine:
         mesh: Mesh,
         k: int = 10,
         approx: bool = False,
-        recall_target: float = 0.99,
+        recall_target: Optional[float] = None,
         quantize: bool = False,
         rescore: bool = False,
         rescore_width: int = 4,
@@ -381,11 +381,21 @@ class RetrievalEngine:
         exactly in fp32 against the host-resident gallery and re-top-k'd.
         The heavy O(G) work stays on the MXU at scan precision; the exact
         refinement is O(k) host FLOPs per query — this measurably recovers
-        the int8+approx ranking loss (matrix in BASELINE.md)."""
+        the int8+approx ranking loss (matrix in BASELINE.md).
+
+        ``recall_target`` (approx scans only) defaults to 0.99 — except
+        when ``rescore=True``, where it defaults to 0.999: the residual of
+        the two-stage scan is first-stage pool MISSES (rows approx_max_k at
+        0.99 never surfaced cannot be rescored back — the r4 matrix's
+        0.9973 cells), and the tighter target closes exactly that gap for
+        ~free (selection cost is second-order next to the O(G) GEMM).
+        Pass an explicit value to override either default."""
         self.mesh = mesh
         self.k = k
         self.quantize = quantize
         self.approx = approx
+        if recall_target is None:
+            recall_target = 0.999 if (rescore and approx) else 0.99
         self.recall_target = recall_target
         self.rescore = rescore
         self.k_scan = rescore_width * k if rescore else k

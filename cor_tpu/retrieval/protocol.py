@@ -106,7 +106,8 @@ def _make_decode_retriever(cfg, params, store, no_mask_embed=None):
 
 def _scan_recall(
     mesh, gallery, queries, targets, ks, query_batch, make_retrieve=None,
-    approx=False, quantize=False, rescore=False,
+    approx=False, quantize=False, rescore=False, rescore_width=4,
+    recall_target=None,
 ) -> Dict[str, float]:
     """Shared scan half of every protocol entry point: sharded engine scan
     of (already-encoded) queries against the gallery + Recall@K. Queries are
@@ -119,7 +120,8 @@ def _scan_recall(
     g = gallery.shape[0]
     k_max = min(max(ks), g)
     engine = RetrievalEngine(
-        mesh, k=k_max, approx=approx, quantize=quantize, rescore=rescore
+        mesh, k=k_max, approx=approx, quantize=quantize, rescore=rescore,
+        rescore_width=rescore_width, recall_target=recall_target,
     )
     engine.set_gallery(gallery)
     retrieve = (
@@ -148,6 +150,8 @@ def evaluate_retrieval(
     approx: bool = False,
     quantize: bool = False,
     rescore: bool = False,
+    rescore_width: int = 4,
+    recall_target: Optional[float] = None,
 ) -> Dict[str, float]:
     """Full protocol: encode, sharded gallery scan, Recall@K.
 
@@ -173,6 +177,7 @@ def evaluate_retrieval(
     return _scan_recall(
         mesh, gallery, queries, targets, ks, query_batch, make_retrieve,
         approx=approx, quantize=quantize, rescore=rescore,
+        rescore_width=rescore_width, recall_target=recall_target,
     )
 
 
@@ -188,6 +193,8 @@ def evaluate_retrieval_with_index(
     approx: bool = False,
     quantize: bool = False,
     rescore: bool = False,
+    rescore_width: int = 4,
+    recall_target: Optional[float] = None,
 ) -> Dict[str, float]:
     """Serving-mode protocol: queries encoded live, gallery loaded from a
     prebuilt ``cor_tpu.cli.index`` artifact (no candidate re-encoding).
@@ -244,4 +251,5 @@ def evaluate_retrieval_with_index(
     return _scan_recall(
         mesh, gallery, queries, targets, ks, query_batch, make_retrieve,
         approx=approx, quantize=quantize, rescore=rescore,
+        rescore_width=rescore_width, recall_target=recall_target,
     )

@@ -49,6 +49,8 @@ class RetrievalServer:
         mesh=None,
         store_hbm: bool = False,
         rescore: bool = False,
+        rescore_width: int = 4,
+        recall_target: Optional[float] = None,
     ):
         from cor_tpu.data.tokenizer import get_tokenizer
         from cor_tpu.parallel import make_mesh
@@ -63,7 +65,9 @@ class RetrievalServer:
         self.k = min(k, len(index["pair_ids"]))
         self.mesh = mesh if mesh is not None else make_mesh()
         self.engine = RetrievalEngine(
-            self.mesh, k=self.k, approx=approx, quantize=quantize, rescore=rescore
+            self.mesh, k=self.k, approx=approx, quantize=quantize,
+            rescore=rescore, rescore_width=rescore_width,
+            recall_target=recall_target,
         )
         self.engine.set_gallery(index["embeddings"])
         self.pair_ids = np.asarray(index["pair_ids"])

@@ -112,6 +112,125 @@ def test_gpipe_gradients_match_sequential(key):
     np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_s), atol=1e-5, rtol=1e-5)
 
 
+def test_gpipe_tp_composed_matches_sequential(key):
+    """PP x TP x DP on one (data=2, model=2, stage=2) mesh: gpipe's
+    shard_map is manual only over stage/data (the ppermute schedule and the
+    per-device microbatch rows) while `model` stays a GSPMD auto axis, so
+    tensor-parallel weight shardings and activation constraints partition
+    the stage body's GEMMs. Forward AND gradients match the sequential
+    unsharded chain — composition is placement-only, never semantics."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(data=2, model=2, stage=2)
+    S, B, M, D = 2, 8, 2, 16
+    ws = jax.random.normal(key, (S, D, D)) * 0.3
+    x = jax.random.normal(jax.random.fold_in(key, 1), (B, D))
+
+    def stage_fn(w, xx):
+        y = xx @ w
+        # TP activation constraint over the auto `model` axis inside the
+        # manual-over-stage/data body — the PP x TP composition point
+        y = jax.lax.with_sharding_constraint(
+            y, NamedSharding(mesh, P(None, "model"))
+        )
+        return jnp.tanh(y)
+
+    def loss_seq(ws, x):
+        for s in range(S):
+            x = jnp.tanh(x @ ws[s])
+        return jnp.sum(x**2)
+
+    def loss_pp(ws, x):
+        return jnp.sum(gpipe(stage_fn, ws, x, mesh, n_microbatches=M) ** 2)
+
+    # stage axis manual (gpipe in_spec) + model-axis TP sharding riding
+    # through to GSPMD: last axis of each stage's weight over `model`
+    ws_tp = jax.device_put(ws, NamedSharding(mesh, P("stage", None, "model")))
+    (l_s, (gw_s, gx_s)) = jax.value_and_grad(loss_seq, argnums=(0, 1))(ws, x)
+    (l_p, (gw_p, gx_p)) = jax.jit(jax.value_and_grad(loss_pp, argnums=(0, 1)))(
+        ws_tp, x
+    )
+    np.testing.assert_allclose(float(l_p), float(l_s), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_s), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_s), atol=1e-5, rtol=1e-5)
+
+
+def test_pipelined_train_step_pp_tp_dp_matches_sequential(key, rng):
+    """The FULL train step on the composed (data=2, model=2, stage=2) mesh:
+    encoder pipelined over `stage`, Megatron col/row param shardings + SP
+    activation constraints over `model` (active INSIDE the pipelined body
+    via stage_tp_constraint / seq_shard_constraint(include_data=False)),
+    batch sharded over `data` — loss, grad norm, and updated params match
+    the sequential replicated step. This is the composability cell of
+    docs/SCALING.md's mode table: every mode is placement over one mesh.
+    Reference contrast: my_train_a.py:198 composes nothing (DDP only)."""
+    from cor_tpu.models.core_model import init_core_model
+    from cor_tpu.parallel import (
+        set_activation_mesh,
+        shard_batch,
+        shard_params,
+    )
+    from cor_tpu.parallel.sharding import param_sharding_rules
+    from cor_tpu.parallel.mesh import MODEL_AXIS
+    from cor_tpu.train.optim import make_optimizer
+    from cor_tpu.train.step import create_train_state, make_train_step
+    from tests.helpers import tiny_batch, tiny_core_config
+
+    mesh = make_mesh(data=2, model=2, stage=2)
+    cfg_seq = tiny_core_config(freeze_towers=False, encoder_override=PP_ENCODER)
+    cfg_pp = tiny_core_config(
+        freeze_towers=False,
+        encoder_override=dataclasses.replace(
+            PP_ENCODER, pp_stages=2, pp_microbatches=2, seq_shard=True
+        ),
+    )
+    params = init_core_model(key, cfg_seq)
+    # TP must actually engage: the rules find column AND row splits at m=2
+    specs = jax.tree.leaves(
+        jax.tree.map(lambda s: s.spec, param_sharding_rules(mesh, params)),
+        is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec),
+    )
+    assert any(len(s) == 2 and s[1] == MODEL_AXIS for s in specs)
+    assert any(len(s) >= 1 and s[0] == MODEL_AXIS for s in specs)
+
+    tx, _ = make_optimizer(params, optimizer="SGD", lr=1e-3, freeze_towers=False)
+    batch = {k: jnp.asarray(v) for k, v in tiny_batch(rng, batch=8).items()}
+    batch["valid"] = jnp.ones((8,), jnp.float32)
+    rng_key, lr = jax.random.PRNGKey(3), jnp.float32(1e-3)
+
+    params_host = jax.tree.map(np.asarray, params)
+    fresh = lambda: jax.tree.map(jnp.asarray, params_host)
+
+    seq_state, seq_m = make_train_step(cfg_seq, tx)(
+        create_train_state(fresh(), tx), batch, rng_key, lr
+    )
+
+    set_activation_mesh(mesh)
+    try:
+        p_tp = shard_params(mesh, fresh())
+        batch_tp = shard_batch(mesh, batch)
+        pp_state, pp_m = make_train_step(cfg_pp, tx)(
+            create_train_state(p_tp, tx), batch_tp, rng_key, lr
+        )
+    finally:
+        set_activation_mesh(None)
+
+    np.testing.assert_allclose(
+        float(pp_m["total_loss"]), float(seq_m["total_loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(pp_m["grad_norm"]), float(seq_m["grad_norm"]), rtol=1e-4
+    )
+    for (kp, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(pp_state.params)[0],
+        jax.tree_util.tree_flatten_with_path(seq_state.params)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-5,
+            err_msg=jax.tree_util.keystr(kp),
+        )
+
+
 def test_pipelined_train_step_matches_sequential(key, rng):
     """The FULL train step (loss + backward + optimizer update) with the
     encoder pipelined over `stage` (TrainConfig.mesh_stage semantics:

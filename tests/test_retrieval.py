@@ -244,12 +244,20 @@ def test_rescore_recovers_int8_ranking_loss(rng):
     r8 = RetrievalEngine(mesh, k=k, quantize=True, approx=True, rescore=True)
     r8.set_gallery(gallery)
     assert r8.k_scan == 4 * k
+    # rescore=True + approx tightens the first-stage recall target to 0.999
+    # by default: the two-stage residual is pool MISSES, which no rescore
+    # can recover — closing them is the r4->r5 accuracy fix
+    assert r8.recall_target == 0.999
+    assert RetrievalEngine(mesh, k=k, approx=True).recall_target == 0.99
+    assert RetrievalEngine(
+        mesh, k=k, approx=True, rescore=True, recall_target=0.9
+    ).recall_target == 0.9
     rs, ri = map(np.asarray, r8.retrieve(jnp.asarray(queries)))
     rescored_overlap = overlap(ei, ri)
 
     # the pinning claims: rescore recovers the quantized scan's loss
-    assert rescored_overlap >= 0.99, (
-        f"rescored int8+approx top-10 agreement {rescored_overlap:.4f} < 0.99 "
+    assert rescored_overlap >= 0.999, (
+        f"rescored int8+approx top-10 agreement {rescored_overlap:.4f} < 0.999 "
         f"(first-stage-only agreement was {base_overlap:.4f})"
     )
     assert rescored_overlap >= base_overlap - 1e-9
@@ -595,6 +603,20 @@ def test_retrieval_server_handle_batch(key, tmp_path):
     assert server.handle_batch([]) == []
 
 
+def test_retrieve_cli_rejects_rerank_plus_rescore(capsys):
+    """--rerank replaces the scan ranking with decoded-mask IoU, so the fp32
+    rescore stage cannot apply — the CLI must refuse the combination instead
+    of silently reporting rerank-only numbers as rescored (advisor r4)."""
+    import pytest
+
+    from cor_tpu.cli.retrieve import main
+
+    with pytest.raises(SystemExit) as e:
+        main(["--config", "x.yaml", "--rerank", "--rescore"])
+    assert e.value.code == 2
+    assert "mutually exclusive" in capsys.readouterr().err
+
+
 def test_serve_tcp_multi_client():
     """serve_tcp: N concurrent clients over real sockets against a stub
     server — every response routes back to the connection that sent its
@@ -676,6 +698,28 @@ def test_serve_tcp_multi_client():
     assert "error" in resp
     s.sendall((json.dumps({"id": "ok", "payload": "p"}) + "\n").encode())
     assert json.loads(f.readline()) == {"id": "ok", "echo": "p"}
+    s.close()
+
+    # pipelined half-close (cat reqs | nc -N): send EVERYTHING, shutdown the
+    # write side BEFORE reading — the server must still drain every queued
+    # response to the reader (advisor r4: the CLOSE path used to kill() the
+    # connection, losing answers the server had already produced)
+    s = socket.create_connection((host, port))
+    f = s.makefile("r")
+    M = 10
+    blob = b"".join(
+        (json.dumps({"id": f"hc:{r}", "payload": f"p{r}"}) + "\n").encode()
+        for r in range(M)
+    )
+    s.sendall(blob)
+    s.shutdown(socket.SHUT_WR)
+    got = []
+    for _ in range(M):
+        line = f.readline()
+        assert line, f"connection closed after only {len(got)}/{M} responses"
+        got.append(json.loads(line)["id"])
+    assert got == [f"hc:{r}" for r in range(M)]
+    assert f.readline() == ""  # then the server closes cleanly
     s.close()
 
 

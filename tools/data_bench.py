@@ -62,6 +62,17 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--workers", default="2,4,8")
     ap.add_argument("--epochs", type=int, default=3, help="first epoch warms page cache")
+    ap.add_argument(
+        "--scaling-check", action="store_true",
+        help="PROVE (not extrapolate) thread scaling through the "
+             "GIL-released C++ data plane: sweep workers 1,2,4,...,"
+             "min(cpus,16) and require >=50%% parallel efficiency at the "
+             "top of the ladder. On a 1-vCPU host the assertion is "
+             "SKIPPED with a message — the harness is the standing proof "
+             "waiting for a multi-core host (BASELINE.md's per-host "
+             "numbers are per-core x N extrapolations until this runs "
+             "somewhere real).",
+    )
     args = ap.parse_args()
 
     from cor_tpu.data.pipeline import CORDataset, DataLoader
@@ -69,8 +80,8 @@ def main():
     root = Path(tempfile.mkdtemp(prefix="cor_data_bench_"))
     try:
         csv = build_disk_dataset(root, args.rows)
-        results = []
-        for nw in (int(w) for w in args.workers.split(",")):
+
+        def measure(nw: int) -> dict:
             ds = CORDataset(csv_path=str(csv), dataset_path=str(root), train=True)
             loader = DataLoader(
                 ds, batch_size=args.batch, shuffle=True, drop_last=True, num_workers=nw
@@ -84,21 +95,54 @@ def main():
                     n += b["query_img"].shape[0]
             dt = time.perf_counter() - t0
             r = {"num_workers": nw, "samples_per_sec": round(n / dt, 1)}
-            results.append(r)
             print(json.dumps(r))
+            return r
+
+        ncpu = os.cpu_count() or 1
+        if args.scaling_check:
+            ladder = [1]
+            while ladder[-1] * 2 <= min(ncpu, 16):
+                ladder.append(ladder[-1] * 2)
+            workers = ladder
+        else:
+            workers = [int(w) for w in args.workers.split(",")]
+        results = [measure(nw) for nw in workers]
         print(
             json.dumps(
                 {
                     "all": results,
                     "rows": args.rows,
                     "batch": args.batch,
-                    # throughput scales ~linearly with host cores until disk-
-                    # bound; report the core count so numbers are comparable
-                    # across hosts (a TPU-VM host has ~100+ vCPUs)
-                    "host_cpus": os.cpu_count(),
+                    # report the core count so numbers are comparable across
+                    # hosts (a TPU-VM host has ~100+ vCPUs)
+                    "host_cpus": ncpu,
                 }
             )
         )
+        if args.scaling_check:
+            if ncpu < 2:
+                print(json.dumps({
+                    "scaling_check": "SKIPPED",
+                    "reason": f"host has {ncpu} vCPU — thread scaling is "
+                              "unmeasurable here; the single-worker "
+                              "samples/s above is the measured per-core "
+                              "number",
+                }))
+                return
+            top = results[-1]
+            speedup = top["samples_per_sec"] / max(results[0]["samples_per_sec"], 1e-9)
+            efficiency = speedup / top["num_workers"]
+            verdict = {
+                "scaling_check": "PASS" if efficiency >= 0.5 else "FAIL",
+                "workers": top["num_workers"],
+                "speedup_vs_1": round(speedup, 2),
+                "parallel_efficiency": round(efficiency, 3),
+                "bar": ">=0.5 efficiency at the ladder top (GIL-released "
+                       "C++ plane should scale near-linearly until disk-bound)",
+            }
+            print(json.dumps(verdict))
+            if verdict["scaling_check"] == "FAIL":
+                sys.exit(1)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

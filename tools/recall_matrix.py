@@ -44,6 +44,11 @@ def main():
     ap.add_argument("--queries", type=int, default=256)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--rescore-width", type=int, default=4)
+    ap.add_argument("--rescore-recall-target", type=float, default=0.999,
+                    help="approx_max_k recall target for the WIDENED rescore "
+                         "pool (RetrievalEngine's rescore default: the "
+                         "two-stage residual is first-stage pool misses, "
+                         "closed by the tighter target)")
     args = ap.parse_args()
 
     sys.path.insert(0, str(Path(__file__).parent.parent))
@@ -66,13 +71,13 @@ def main():
     KSCAN = args.rescore_width * K
     N_SHARDS = 8  # pool-recovery simulation of an 8-chip sharded scan
 
-    @partial(jax.jit, static_argnames=("k", "approx"))
-    def scan_fp32(q, g, k, approx):
+    @partial(jax.jit, static_argnames=("k", "approx", "rt"))
+    def scan_fp32(q, g, k, approx, rt=0.99):
         # engine-default precision: on TPU this is bf16 multiplies with fp32
         # accumulation — the DEPLOYED fp32 scan's real numerics
         s = jnp.dot(q, g.T, preferred_element_type=jnp.float32)
         if approx:
-            return jax.lax.approx_max_k(s, k, recall_target=0.99)
+            return jax.lax.approx_max_k(s, k, recall_target=rt)
         return jax.lax.top_k(s, k)
 
     @partial(jax.jit, static_argnames=("k",))
@@ -83,12 +88,12 @@ def main():
                     preferred_element_type=jnp.float32)
         return jax.lax.top_k(s, k)
 
-    @partial(jax.jit, static_argnames=("k", "approx"))
-    def scan_int8(q, gq, gs, k, approx):
+    @partial(jax.jit, static_argnames=("k", "approx", "rt"))
+    def scan_int8(q, gq, gs, k, approx, rt=0.99):
         qq, qs = _quantize_queries_in_graph(q)
         s = cosine_scores_int8(qq, qs, gq, gs)
         if approx:
-            return jax.lax.approx_max_k(s, k, recall_target=0.99)
+            return jax.lax.approx_max_k(s, k, recall_target=rt)
         return jax.lax.top_k(s, k)
 
     @jax.jit
@@ -183,11 +188,12 @@ def main():
             key = f"{gname}/qnoise={qnoise}"
             rows = {}
 
+            RT = args.rescore_recall_target
             configs = [
-                ("fp32-exact", lambda k: scan_fp32(probe, g, k, False)),
-                ("fp32-approx", lambda k: scan_fp32(probe, g, k, True)),
-                ("int8-exact", lambda k: scan_int8(probe, gq, gs, k, False)),
-                ("int8-approx", lambda k: scan_int8(probe, gq, gs, k, True)),
+                ("fp32-exact", lambda k, rt=0.99: scan_fp32(probe, g, k, False)),
+                ("fp32-approx", lambda k, rt=0.99: scan_fp32(probe, g, k, True, rt)),
+                ("int8-exact", lambda k, rt=0.99: scan_int8(probe, gq, gs, k, False)),
+                ("int8-approx", lambda k, rt=0.99: scan_int8(probe, gq, gs, k, True, rt)),
             ]
             for name, fn in configs:
                 _, i1 = fn(K)
@@ -197,8 +203,10 @@ def main():
                 print(f"{gname:>10s} {qnoise:>6.2f} {name:>22s} "
                       f"{row['r@1']:>7.4f} {row['r@5']:>7.4f} {row['r@10']:>7.4f} "
                       f"{row['agree']:>11.4f}")
-                # + rescore: widened pool -> exact fp32 second stage
-                _, pool = fn(KSCAN)
+                # + rescore: widened pool (approx scans at the tighter
+                # rescore recall target — the engine's rescore=True default)
+                # -> exact fp32 second stage
+                _, pool = fn(KSCAN, RT)
                 _, i2 = rescore_pool(probe, g, pool)
                 i2 = np.asarray(i2)
                 row2 = dict(recalls(i2, targets), agree=round(overlap(ref_i, i2), 4))

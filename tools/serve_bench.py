@@ -42,6 +42,14 @@ def main():
                     help="skip the stdio A/B benches (their startup+warmup "
                          "compiles dominate wall time when only the TCP "
                          "numbers are wanted)")
+    ap.add_argument("--scaling-check", action="store_true",
+                    help="PROVE (not extrapolate) concurrent-serving "
+                         "scaling: sweep TCP clients 1,2,4,...,min(cpus,8) "
+                         "and require >=1.25x sustained req/s at >=4 "
+                         "clients vs 1. On a 1-vCPU host the assertion is "
+                         "SKIPPED with a message — the harness is the "
+                         "standing proof waiting for a multi-core host "
+                         "(implies --only-tcp)")
     args = ap.parse_args()
 
     sys.path.insert(0, str(Path(__file__).parent.parent))
@@ -179,12 +187,48 @@ def main():
         wall = time.perf_counter() - t0
         all_lat = np.concatenate([np.asarray(l) for l in lats]) * 1e3
         total = n_clients * per_client
+        rps = total / wall
         print(
-            f"tcp clients={n_clients:<2d} sustained {total / wall:6.1f} req/s | "
+            f"tcp clients={n_clients:<2d} sustained {rps:6.1f} req/s | "
             f"per-request p50 {np.percentile(all_lat, 50):7.1f} ms  "
             f"p95 {np.percentile(all_lat, 95):7.1f} ms  (n={total}, k={args.k}, "
             f"max_batch={args.batch})"
         )
+        return rps
+
+    if args.scaling_check:
+        import json as _json
+        import os
+
+        ncpu = os.cpu_count() or 1
+        ladder = [1]
+        while ladder[-1] * 2 <= min(max(ncpu, 2), 8):
+            ladder.append(ladder[-1] * 2)
+        per = max(4, args.requests // ladder[-1])
+        rps = {n: bench_tcp(n, per if n > 1 else per * 2) for n in ladder}
+        if ncpu < 2:
+            print(_json.dumps({
+                "scaling_check": "SKIPPED",
+                "reason": f"host has {ncpu} vCPU — client/worker scaling is "
+                          "unmeasurable here; the 1-client req/s above is "
+                          "the measured per-core serving number",
+                "host_cpus": ncpu,
+            }))
+            return
+        top = ladder[-1]
+        speedup = rps[top] / max(rps[1], 1e-9)
+        verdict = {
+            "scaling_check": "PASS" if (top >= 4 and speedup >= 1.25) else "FAIL",
+            "clients": top,
+            "speedup_vs_1": round(speedup, 2),
+            "bar": ">=1.25x sustained req/s at >=4 clients (cross-client "
+                   "micro-batching + writer-thread overlap)",
+            "host_cpus": ncpu,
+        }
+        print(_json.dumps(verdict))
+        if verdict["scaling_check"] == "FAIL":
+            sys.exit(1)
+        return
 
     if not args.only_tcp:
         bench("host-stream", store_hbm=False)
