@@ -11,6 +11,7 @@ path when a compiler is unavailable (`native_available()` is False).
 from cor_tpu.native.preproc import (
     color_enhance_u8,
     native_available,
+    png_encode_gray,
     resize_bilinear_u8,
     resize_normalize_f32,
 )
@@ -18,6 +19,7 @@ from cor_tpu.native.preproc import (
 __all__ = [
     "color_enhance_u8",
     "native_available",
+    "png_encode_gray",
     "resize_bilinear_u8",
     "resize_normalize_f32",
 ]

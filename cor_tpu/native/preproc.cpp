@@ -23,6 +23,8 @@
 #include <cstring>
 #include <vector>
 
+#include <zlib.h>
+
 namespace {
 
 constexpr int PRECISION_BITS = 32 - 8 - 2;
@@ -282,6 +284,93 @@ void cor_resize_normalize_f32(const uint8_t* src, int h, int w, int ch,
     for (size_t i = 0; i < n; ++i)
         for (int b = 0; b < ch; ++b)
             dst[i * ch + b] = resized[i * ch + b] * scale[b] - shift[b];
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Minimal 8-bit-grayscale PNG encoder (zlib). Serving writes one PNG per
+// retrieved candidate mask (retrieval/serve.py::_save_masks) — measured the
+// dominant per-request HOST cost at k=10 (Pillow's default zlib level 6
+// spends ~19 ms per 256x256 mask; this encoder at level 1 is ~10x cheaper
+// on the near-binary masks serving emits, and releases the GIL so writer
+// threads overlap encodes with the next device dispatch). Standard PNG:
+// IHDR (color type 0) + one IDAT holding the zlib stream of
+// filter-byte-0-prefixed scanlines + IEND; readable by any decoder.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+inline void put_be32(uint8_t* p, uint32_t v) {
+    p[0] = static_cast<uint8_t>(v >> 24);
+    p[1] = static_cast<uint8_t>(v >> 16);
+    p[2] = static_cast<uint8_t>(v >> 8);
+    p[3] = static_cast<uint8_t>(v);
+}
+
+// chunk = len | type | data | crc32(type+data); returns bytes written
+size_t put_chunk(uint8_t* out, const char* type, const uint8_t* data,
+                 size_t n) {
+    put_be32(out, static_cast<uint32_t>(n));
+    std::memcpy(out + 4, type, 4);
+    if (n) std::memcpy(out + 8, data, n);
+    uLong crc = crc32(0L, Z_NULL, 0);
+    crc = crc32(crc, out + 4, static_cast<uInt>(4 + n));
+    put_be32(out + 8 + n, static_cast<uint32_t>(crc));
+    return 12 + n;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Encode an 8-bit grayscale [h, w] image as a complete PNG file into `out`
+// (capacity out_cap). Returns the byte count, or -1 if out_cap is too
+// small (call with out_cap >= cor_png_gray_bound(h, w)). `level` is the
+// zlib level (1 = fast, serving's choice; 6 = Pillow's default).
+long long cor_png_gray_bound(int h, int w) {
+    const size_t raw = static_cast<size_t>(h) * (w + 1);
+    return static_cast<long long>(compressBound(static_cast<uLong>(raw))) +
+           8 + 25 + 12 + 12 + 64;  // sig + IHDR + IDAT/IEND framing + slack
+}
+
+long long cor_png_encode_gray(const uint8_t* src, int h, int w, int level,
+                              uint8_t* out, long long out_cap) {
+    static const uint8_t SIG[8] = {0x89, 'P', 'N', 'G', '\r', '\n', 0x1A, '\n'};
+    // filter byte 0 before every scanline (no filtering: masks are
+    // near-binary, zlib eats runs directly)
+    const size_t raw_n = static_cast<size_t>(h) * (w + 1);
+    std::vector<uint8_t> raw(raw_n);
+    for (int y = 0; y < h; ++y) {
+        raw[static_cast<size_t>(y) * (w + 1)] = 0;
+        std::memcpy(raw.data() + static_cast<size_t>(y) * (w + 1) + 1,
+                    src + static_cast<size_t>(y) * w, w);
+    }
+    uLongf zcap = compressBound(static_cast<uLong>(raw_n));
+    std::vector<uint8_t> z(zcap);
+    if (compress2(z.data(), &zcap, raw.data(), static_cast<uLong>(raw_n),
+                  level) != Z_OK)
+        return -1;
+
+    uint8_t ihdr[13];
+    put_be32(ihdr, static_cast<uint32_t>(w));
+    put_be32(ihdr + 4, static_cast<uint32_t>(h));
+    ihdr[8] = 8;   // bit depth
+    ihdr[9] = 0;   // color type: grayscale
+    ihdr[10] = 0;  // compression
+    ihdr[11] = 0;  // filter method
+    ihdr[12] = 0;  // interlace
+
+    const long long need =
+        8 + 12 + 13 + 12 + static_cast<long long>(zcap) + 12;
+    if (out_cap < need) return -1;
+    uint8_t* p = out;
+    std::memcpy(p, SIG, 8);
+    p += 8;
+    p += put_chunk(p, "IHDR", ihdr, 13);
+    p += put_chunk(p, "IDAT", z.data(), zcap);
+    p += put_chunk(p, "IEND", nullptr, 0);
+    return static_cast<long long>(p - out);
 }
 
 }  // extern "C"

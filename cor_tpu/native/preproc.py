@@ -66,7 +66,7 @@ def _build() -> Optional[ctypes.CDLL]:
                 # f*(in2-in1)+in1 into an FMA and flip ~2% of truncations
                 ["g++", "-O3", "-march=native", "-ffp-contract=off",
                  "-funroll-loops", "-shared", "-fPIC", "-std=c++17",
-                 str(_SRC), "-o", str(tmp)],
+                 str(_SRC), "-o", str(tmp), "-lz"],
                 check=True, capture_output=True, timeout=120,
             )
             os.replace(tmp, _SO)
@@ -86,6 +86,13 @@ def _build() -> Optional[ctypes.CDLL]:
             ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
             u8p,
         ]
+        lib.cor_png_gray_bound.argtypes = [ctypes.c_int, ctypes.c_int]
+        lib.cor_png_gray_bound.restype = ctypes.c_longlong
+        lib.cor_png_encode_gray.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            u8p, ctypes.c_longlong,
+        ]
+        lib.cor_png_encode_gray.restype = ctypes.c_longlong
         return lib
     except Exception:
         return None
@@ -147,6 +154,29 @@ def color_enhance_u8(
         dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return dst
+
+
+def png_encode_gray(img: np.ndarray, level: int = 1) -> bytes:
+    """Encode an 8-bit grayscale [H, W] array as a complete PNG (color type
+    0, filter 0 scanlines, one IDAT) — standard, any decoder reads it.
+    GIL-released zlib work: serving's per-candidate mask writes
+    (retrieval/serve.py::_save_masks) encode off the dispatcher's critical
+    path and in parallel across writer threads. Level 1 is ~10x cheaper
+    than Pillow's default level 6 on near-binary masks (round-trip
+    bit-exactness pinned in tests/test_native_preproc.py)."""
+    lib = _get_lib()
+    assert lib is not None, "native preproc unavailable"
+    src = np.ascontiguousarray(img)
+    assert src.dtype == np.uint8 and src.ndim == 2
+    h, w = src.shape
+    cap = int(lib.cor_png_gray_bound(h, w))
+    out = np.empty(cap, np.uint8)
+    n = int(lib.cor_png_encode_gray(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, int(level),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+    ))
+    assert n > 0, "png encode failed"
+    return out[:n].tobytes()
 
 
 def resize_normalize_f32(

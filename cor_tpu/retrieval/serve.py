@@ -254,11 +254,12 @@ class RetrievalServer:
         Host-streamed store: chunked at HOST_STREAM_DECODE_CAP rows per
         dispatch to bound the shipped fp32 buffer.
 
-        Binarization happens ON DEVICE: the serving threshold is
-        sigmoid(logit) > 0.5, which is exactly logit > 0, so fetching uint8
-        masks instead of fp32 logits moves 4x less across PCIe (and ~30x
-        less over this relay-attached dev chip — measured to be the
-        per-request bottleneck that made cross-client batching useless)."""
+        Binarization AND bit-packing happen ON DEVICE: the serving
+        threshold sigmoid(logit) > 0.5 is exactly logit > 0, and 8 pixels
+        pack into one byte — the fetch moves 32x less than fp32 logits
+        across PCIe (and this relay, where the per-batch mask fetch was
+        measured to be the dominant serving cost after the r5 native PNG
+        encoder removed the host-encode cost)."""
         import jax
         import jax.numpy as jnp
 
@@ -267,7 +268,23 @@ class RetrievalServer:
         flat_idx = idx.reshape(-1)
         feats_np = np.repeat(np.asarray(q), k, axis=0)  # [B*k, D]
         if self._binarize is None:
-            self._binarize = jax.jit(lambda x: (x > 0).astype(jnp.uint8))
+            # binarize AND bit-pack on device: sigmoid>0.5 == logit>0, and
+            # 8 mask pixels pack into one byte (bitorder matches
+            # np.unpackbits' default big-endian), so the host fetch moves
+            # 8x less than uint8 masks — 32x less than fp32 logits. At
+            # k=10 256^2 masks that is 80 KB/request instead of 640 KB
+            # (2.6 MB -> 0.33 MB per max_batch=4 dispatch), which turns the
+            # per-batch fetch from the dominant serving cost into noise on
+            # this few-MB/s relay and is a real PCIe win on a TPU-VM too.
+            _w = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+
+            def _pack(x):  # [n, 1, H, W] logits -> [n, 1, H, W//8] bytes
+                assert x.shape[-1] % 8 == 0, x.shape  # masks are 4*grid wide
+                b = (x > 0).astype(jnp.uint8)
+                b = b.reshape(*b.shape[:-1], b.shape[-1] // 8, 8)
+                return (b * _w).sum(axis=-1).astype(jnp.uint8)
+
+            self._binarize = jax.jit(_pack)
         if self._decode_hbm is not None:
             # store-indexed decode straight out of the HBM-resident int8
             # store: row indices are cheap, no chunking needed
@@ -301,16 +318,25 @@ class RetrievalServer:
                     self._decode(self.params, cand, jnp.asarray(cf))
                 ))
                 chunks.append(out[:m])
-            masks = np.concatenate(chunks)  # [n, 1, 4g, 4g] uint8
+            masks = np.concatenate(chunks)  # [n, 1, 4g, 4g/8] packed bytes
+        # unpack the device's bit-packed bytes back to 0/1 pixels (cheap C
+        # loop; big-endian bit order matches the packer above)
+        masks = np.unpackbits(masks, axis=-1)
         return masks[:n, 0].reshape(B, k, *masks.shape[2:])
 
     def _save_masks(self, req_id, idx: np.ndarray, masks: np.ndarray,
                     save: bool = True) -> List[str]:
         """Write one PNG per retrieved candidate for one request. ``masks``
         is [k, 4g, 4g] uint8 0/1, already binarized ON DEVICE
-        (sigmoid > 0.5 == logit > 0 — _decode_logits_batch)."""
-        from PIL import Image
+        (sigmoid > 0.5 == logit > 0 — _decode_logits_batch).
 
+        Encoding goes through the C++ data plane's GIL-released PNG encoder
+        (native.png_encode_gray, zlib level 1) — the k Pillow level-6
+        encodes per request were the dominant HOST cost of a serving
+        request (measured ~19 ms each at 256^2 vs ~1.4 ms native), and the
+        GIL release lets TCP writer threads overlap encodes with the next
+        device dispatch. Falls back to Pillow (level 1) without a
+        compiler."""
         if not save:  # warmup: compile + execute, write nothing
             return []
         self.decode_dir.mkdir(parents=True, exist_ok=True)
@@ -323,11 +349,20 @@ class RetrievalServer:
         if req_id is None or not safe_id:
             self._anon_requests += 1
             safe_id = f"req{self._anon_requests}"
+        from cor_tpu.native import native_available, png_encode_gray
+
+        use_native = native_available()
+        if not use_native:
+            from PIL import Image
         paths = []
         for j, gallery_row in enumerate(idx):
             m = masks[j] * np.uint8(255)
             p = self.decode_dir / f"{safe_id}_{int(self.pair_ids[gallery_row])}.png"
-            Image.fromarray(m, "L").save(p)
+            if use_native:
+                with open(p, "wb") as f:
+                    f.write(png_encode_gray(m, level=1))
+            else:
+                Image.fromarray(m, "L").save(p, compress_level=1)
             paths.append(str(p))
         return paths
 

@@ -143,3 +143,52 @@ def test_pipeline_to_float_img_native_equals_pil(rng, monkeypatch):
     np.testing.assert_allclose(native_img, pil_img, atol=2e-6)
     np.testing.assert_allclose(native_mask, pil_mask, atol=2e-6)
     assert native_mask.shape == (64, 64, 1)
+
+
+def test_png_encode_gray_roundtrip_and_levels(rng):
+    """The native PNG encoder (serving's per-candidate mask writer,
+    retrieval/serve.py::_save_masks) emits STANDARD PNGs: Pillow decodes
+    them back bit-exactly, at every zlib level, for binary masks, gradients,
+    noise, and non-square shapes."""
+    import io
+
+    from PIL import Image
+
+    from cor_tpu.native import native_available, png_encode_gray
+
+    if not native_available():
+        import pytest
+
+        pytest.skip("no C++ toolchain on this host")
+
+    images = [
+        (rng.random((256, 256)) > 0.5).astype(np.uint8) * 255,  # serving mask
+        np.tile(np.arange(256, dtype=np.uint8), (17, 1)),  # gradient, non-sq
+        rng.integers(0, 256, (100, 37), dtype=np.uint8),  # noise, odd shape
+        np.zeros((8, 8), np.uint8),
+        np.full((1, 1), 255, np.uint8),
+    ]
+    for img in images:
+        for level in (1, 6, 9):
+            back = np.asarray(Image.open(io.BytesIO(png_encode_gray(img, level))))
+            np.testing.assert_array_equal(back, img)
+
+
+def test_save_masks_writes_decodable_pngs(tmp_path):
+    """RetrievalServer._save_masks through the native encoder: files land at
+    the documented {safe_id}_{pair_id}.png names and decode to the exact
+    0/255 masks."""
+    from PIL import Image
+
+    from cor_tpu.retrieval.serve import RetrievalServer
+
+    srv = RetrievalServer.__new__(RetrievalServer)  # no model needed
+    srv.decode_dir = tmp_path
+    srv.pair_ids = np.asarray([10, 20, 30])
+    srv._anon_requests = 0
+    rng = np.random.default_rng(0)
+    masks = (rng.random((2, 64, 64)) > 0.5).astype(np.uint8)
+    paths = srv._save_masks("a/b..c", np.asarray([2, 0]), masks)
+    assert [p.split("/")[-1] for p in paths] == ["ab..c_30.png", "ab..c_10.png"]
+    for p, m in zip(paths, masks):
+        np.testing.assert_array_equal(np.asarray(Image.open(p)), m * 255)

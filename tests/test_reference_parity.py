@@ -294,11 +294,11 @@ class _StubSigLIP(torch.nn.Module):
         return self.image_feat, self.text_feat, None, self.grid
 
 
-def _build_composite(monkeypatch):
+def _build_composite(monkeypatch, siglip_module=None):
     """Shared setup: reference CirSegModelWithQuerySupportFeat (SigLIP
-    stubbed) + the converted cor_tpu params/config + monkeypatched
-    siglip_encode emitting the same fixed tensors. Returns
-    (ref, params, cfg, stub_arrays, rng)."""
+    stubbed, or ``siglip_module`` — a real torch tower — when given) + the
+    converted cor_tpu params/config + monkeypatched siglip_encode emitting
+    the same fixed tensors. Returns (ref, params, cfg, stub_arrays, rng)."""
     import lib.support_branch as ref_sb_mod
     from lib.sam_with_sup_branch import CirSegModelWithQuerySupportFeat
 
@@ -309,7 +309,7 @@ def _build_composite(monkeypatch):
     text_feat = rng.standard_normal((B, D)).astype(np.float32)
     grid_nchw = rng.standard_normal((B, D, G, G)).astype(np.float32)
 
-    stub = _StubSigLIP(image_feat, text_feat, grid_nchw)
+    stub = siglip_module or _StubSigLIP(image_feat, text_feat, grid_nchw)
     monkeypatch.setattr(ref_sb_mod, "SigLIP", lambda *a, **kw: stub)
 
     torch.manual_seed(7)
@@ -339,8 +339,15 @@ def _build_composite(monkeypatch):
     return ref, sd, (B, D, G, image_feat, text_feat, grid_nchw), rng
 
 
-def _composite_cfg_and_params(sd, multimask, D, image_feat, text_feat, grid_nchw, monkeypatch):
-    """The converted cor_tpu mirror of the composite built above."""
+def _composite_cfg_and_params(
+    sd, multimask, D, image_feat, text_feat, grid_nchw, monkeypatch,
+    siglip_override=None, siglip_params=None, freeze_towers=True,
+):
+    """The converted cor_tpu mirror of the composite built above.
+
+    Default: the SigLIP call is monkeypatched to fixed tensors (the stub
+    setup). Pass ``siglip_override``/``siglip_params`` to run the REAL
+    tower instead (converted weights; no monkeypatch)."""
 
     # cor_tpu mirror config + converted params (siglip subtree unused: the
     # encode call is monkeypatched to the same fixed tensors)
@@ -350,6 +357,7 @@ def _composite_cfg_and_params(sd, multimask, D, image_feat, text_feat, grid_nchw
     cfg = CoreConfig(
         multimask_output=multimask,
         compute_dtype="float32",
+        freeze_towers=freeze_towers,
         encoder_override=SamEncoderConfig(
             img_size=256, patch_size=4, embed_dim=64, depth=2, num_heads=2,
             out_chans=256, window_size=4, global_attn_indexes=(1,),
@@ -363,7 +371,7 @@ def _composite_cfg_and_params(sd, multimask, D, image_feat, text_feat, grid_nchw
             embed_dim=256, image_embedding_size=(64, 64), input_image_size=(256, 256)
         ),
         support_override=SupportBranchConfig(
-            siglip_override=TINY_SIGLIP,  # placeholder tower, bypassed below
+            siglip_override=siglip_override or TINY_SIGLIP,
             mask_pooling="MaskAdapterPooling",
             adapter_override=MaskAdapterConfig(
                 x_in_channel=D, adapter_in_channel=512,
@@ -375,7 +383,9 @@ def _composite_cfg_and_params(sd, multimask, D, image_feat, text_feat, grid_nchw
     params = as_jnp({
         "image_encoder": convert_sam_encoder(sd, 2),
         "support_branch": {
-            "siglip": params["support_branch"]["siglip"],  # unused placeholder
+            "siglip": siglip_params
+            if siglip_params is not None
+            else params["support_branch"]["siglip"],  # unused placeholder
             "cir_fuse": convert_cir_fuse(sd, "support_branch.cir_fuse"),
             "ln_channel_first": _ln(sd, "support_branch.ln_channel_first"),
             "ln_channel_last": _ln(sd, "support_branch.ln_channel_last"),
@@ -394,17 +404,18 @@ def _composite_cfg_and_params(sd, multimask, D, image_feat, text_feat, grid_nchw
         "mask_decoder": convert_sam_decoder(sd),
     })
 
-    import cor_tpu.models.support_branch as cor_sb_mod
+    if siglip_params is None:
+        import cor_tpu.models.support_branch as cor_sb_mod
 
-    monkeypatch.setattr(
-        cor_sb_mod,
-        "siglip_encode",
-        lambda p, imgs, toks, c: (
-            jnp.asarray(image_feat),
-            jnp.asarray(text_feat),
-            jnp.asarray(grid_nchw.transpose(0, 2, 3, 1)),  # NHWC grid
-        ),
-    )
+        monkeypatch.setattr(
+            cor_sb_mod,
+            "siglip_encode",
+            lambda p, imgs, toks, c: (
+                jnp.asarray(image_feat),
+                jnp.asarray(text_feat),
+                jnp.asarray(grid_nchw.transpose(0, 2, 3, 1)),  # NHWC grid
+            ),
+        )
     return cfg, params
 
 
@@ -847,6 +858,264 @@ def test_training_trajectory_parity(
     enc_moved = flat(final["image_encoder"]) - flat(initial["image_encoder"])
     assert float(np.max(np.abs(enc_moved))) == 0.0, "frozen encoder moved (ours)"
     assert float(np.max(np.abs(d_enc))) < 1e-7, "frozen encoder diverged from torch"
+
+
+class _TrainableHFSigLIP(torch.nn.Module):
+    """The reference HF wrapper's forward contract
+    (siglip_hugginface.py:17-54: normalized pooled image/text features +
+    the patch grid in NCHW) WITHOUT its no_grad decorators, and with ONE
+    vision forward feeding both the pooled feature and the grid (the
+    reference runs the tower twice, which under no_grad costs nothing but
+    would double-count tower gradients when training). The reference's own
+    wrappers structurally sever tower gradients, so a trainable torch twin
+    of cor_tpu's freeze_towers=False full fine-tune must remove that
+    severance — this is the oracle for the capability the reference cannot
+    express."""
+
+    def __init__(self, model):
+        super().__init__()
+        self.model = model
+
+    def freeze(self):  # build_model.py:113's hook; unused in unfrozen runs
+        for p in self.parameters():
+            p.requires_grad = False
+
+    def forward(self, support_input, change_text):
+        vis = self.model.vision_model(pixel_values=support_input)
+        image_features = vis.pooler_output  # == get_image_features
+        image_features = image_features / image_features.norm(dim=-1, keepdim=True)
+        text_features = self.model.get_text_features(input_ids=change_text)
+        text_features = text_features / text_features.norm(dim=-1, keepdim=True)
+        tokens = vis.last_hidden_state  # [B, N, D] post post_layernorm
+        N, P, Dh = tokens.shape
+        H = int(P**0.5)
+        grid = tokens.permute(0, 2, 1).reshape(N, Dh, H, H)
+        return image_features, text_features, tokens, grid
+
+
+def test_training_trajectory_parity_unfrozen_real_tower(monkeypatch, tmp_path):
+    """UNFROZEN multi-step trajectory with a REAL SigLIP tower on both sides
+    (VERDICT r4 next-round items 2 + 4): no build_model.py:112-120 freezing
+    on the torch side (every parameter clipped and stepped), and a real
+    HF-transformers SiglipModel at a tiny-but-real config (width 768 — the
+    flagship dim — depth 2) whose weights are converted through
+    convert_siglip_hf so cor_tpu runs its ACTUAL tower, not the stub.
+
+    This is the only test that exercises, cross-framework: value-clip over
+    the FULL parameter set, pos-embed/rel-pos/LN updates in the SAM encoder,
+    token/positional-embedding and LN updates in both SigLIP towers, and a
+    trajectory with NO stop_gradient anywhere. 10 steps (2 epochs x 5),
+    AdamW + CosineAnnealingLR — the reference's training configuration.
+    """
+    import logging
+
+    import torch.nn.functional as F
+
+    transformers = pytest.importorskip("transformers")
+
+    from utils.loss_func import (
+        bg_feat_similarity_loss as ref_bg,
+        fg_feat_similarity_loss as ref_fg,
+        wbce_with_wiou_loss as ref_wbce,
+    )
+    from utils.utils import clip_gradient as ref_clip
+
+    from cor_tpu.config import TrainConfig
+    from cor_tpu.models.siglip import SigLIPConfig, SigLIPTextConfig, SigLIPVisionConfig
+    from cor_tpu.train.optim import make_optimizer
+    from cor_tpu.train.step import create_train_state, make_train_step
+    from cor_tpu.train.trainer import Trainer
+    from cor_tpu.utils.convert import convert_siglip_hf
+    import cor_tpu.train.step as step_mod
+
+    LR, EPOCHS, STEPS = 1e-3, 2, 5
+
+    # real HF tower at flagship width (768 = the D SupportBranch hardcodes
+    # for ViT-B-16-SigLIP-384, support_branch.py:21-22), tiny depth; image
+    # 32/patch 4 -> the 8x8 grid the 32^2 support masks downscale to
+    torch.manual_seed(21)
+    hf = transformers.SiglipModel(
+        transformers.SiglipConfig(
+            vision_config=dict(
+                hidden_size=768, intermediate_size=1536, num_hidden_layers=2,
+                num_attention_heads=12, image_size=32, patch_size=4,
+                hidden_act="gelu",
+            ),
+            text_config=dict(
+                hidden_size=768, intermediate_size=1536, num_hidden_layers=2,
+                num_attention_heads=12, max_position_embeddings=8,
+                vocab_size=64, hidden_act="gelu",
+            ),
+        )
+    )
+    tower = _TrainableHFSigLIP(hf)
+    sig_cfg = SigLIPConfig(
+        vision=SigLIPVisionConfig(
+            image_size=32, patch_size=4, width=768, depth=2, num_heads=12,
+            mlp_ratio=2.0,
+        ),
+        text=SigLIPTextConfig(
+            context_length=8, vocab_size=64, width=768, depth=2, num_heads=12,
+            mlp_ratio=2.0,
+        ),
+    )
+
+    ref, sd, (B, D, G, *_), rng = _build_composite(monkeypatch, siglip_module=tower)
+    sd = {k: v.copy() for k, v in sd.items()}
+
+    def hf_subtree(full_sd):
+        pre = "support_branch.siglip.model."
+        return convert_siglip_hf(
+            {k[len(pre):]: v for k, v in full_sd.items() if k.startswith(pre)},
+            vision_depth=2, text_depth=2,
+        )
+
+    cfg_core, params = _composite_cfg_and_params(
+        sd, False, D, None, None, None, monkeypatch,
+        siglip_override=sig_cfg, siglip_params=as_jnp(hf_subtree(sd)),
+        freeze_towers=False,
+    )
+
+    # dropout off inside the real train step (framework randomness)
+    orig_fwd = step_mod.core_forward
+
+    def fwd_no_dropout(*args, key=None, train=False):
+        return orig_fwd(*args, key=None, train=train)
+
+    monkeypatch.setattr(step_mod, "core_forward", fwd_no_dropout)
+
+    batches = []
+    for _ in range(STEPS):
+        batches.append(
+            dict(
+                q=rng.standard_normal((B, 3, 256, 256)).astype(np.float32),
+                s_img=rng.standard_normal((B, 3, 32, 32)).astype(np.float32),
+                s_mask=(rng.random((B, 1, 32, 32)) > 0.5).astype(np.float32),
+                text=rng.integers(0, 64, (B, 8)).astype(np.int64),
+                gt=(rng.random((B, 1, 256, 256)) > 0.7).astype(np.float32),
+            )
+        )
+
+    # ---- reference loop, UNFROZEN: every parameter optimizes ----
+    trainable = list(ref.parameters())
+    assert all(p.requires_grad for p in trainable)
+    opt = torch.optim.AdamW(trainable, lr=LR)
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=EPOCHS, eta_min=0.1 * LR)
+    ref_losses = []
+    for _epoch in range(1, EPOCHS + 1):
+        sched.step()  # schedule-before-train placement (my_train_a.py:252-259)
+        for b in batches:
+            opt.zero_grad()
+            pred, qemb, sfeat = ref(
+                torch.from_numpy(b["q"]), torch.from_numpy(b["s_img"]),
+                torch.from_numpy(b["text"]), torch.from_numpy(b["s_mask"]),
+                multimask_output=False,
+            )
+            gt_t = torch.from_numpy(b["gt"])
+            target = F.interpolate(gt_t, size=pred.shape[2:], mode="bilinear", align_corners=False)
+            loss = ref_wbce(pred, target) + 5 * ref_fg(qemb, sfeat, gt_t) + 5 * ref_bg(qemb, sfeat, gt_t)
+            loss.backward()
+            ref_clip(optimizer=opt, grad_clip=0.5)
+            opt.step()
+            ref_losses.append(float(loss.detach()))
+
+    # ---- cor_tpu: the actual Trainer, freeze_towers=False ----
+    tcfg = TrainConfig(
+        epoch=EPOCHS, lr=LR, batch_size=B, optimizer="AdamW",
+        lr_scheduler="CosineAnnealingLR", gradient_clip=0.5,
+        batch_record_interval=1, train_model_save_epoch=99,
+        train_model_save_path=str(tmp_path), compute_dtype="float32",
+        freeze_towers=False,
+    )
+    tx, schedule = make_optimizer(
+        params, "AdamW", LR, "CosineAnnealingLR", EPOCHS, 0.5,
+        freeze_towers=False,
+    )
+    initial = jax.tree.map(lambda x: np.array(x, copy=True), params)
+    state = create_train_state(params, tx)
+    trainer = Trainer(tcfg, state, tx, schedule, logging.getLogger("traj_uf"))
+    trainer.core_cfg = cfg_core
+    trainer.train_step = make_train_step(cfg_core, tx)
+    got_losses = []
+    orig_step = trainer.train_step
+
+    def recording_step(st, batch, rng_, lr_):
+        st, m = orig_step(st, batch, rng_, lr_)
+        got_losses.append(m["total_loss"])
+        return st, m
+
+    trainer.train_step = recording_step
+
+    class Loader:
+        def __len__(self):
+            return STEPS
+
+        def __iter__(self):
+            for b in batches:
+                yield {
+                    "query_img": b["q"].transpose(0, 2, 3, 1),
+                    "query_mask": b["gt"].transpose(0, 2, 3, 1),
+                    "support_img": b["s_img"].transpose(0, 2, 3, 1),
+                    "support_mask": b["s_mask"].transpose(0, 2, 3, 1),
+                    "text": b["text"].astype(np.int32),
+                }
+
+    for epoch in range(1, EPOCHS + 1):
+        trainer.train_epoch(Loader(), epoch)
+    got_losses = [float(v) for v in got_losses]
+
+    # loss trajectory parity: the real tower deepens the graph (float
+    # reassociation compounds over 10 unfrozen steps), so the stub test's
+    # 2e-3 relaxes to 5e-3
+    np.testing.assert_allclose(got_losses, ref_losses, atol=5e-3, rtol=5e-3)
+
+    final_sd = sd_np(ref)
+    final = trainer.state.params
+
+    def flat(tree):
+        return np.concatenate(
+            [np.asarray(l, np.float64).ravel() for l in jax.tree.leaves(tree)]
+        )
+
+    def check_drift(got_fin, got_init, want_fin, want_init, name):
+        d_got = flat(got_fin) - flat(got_init)
+        d_want = flat(as_jnp(want_fin)) - flat(as_jnp(want_init))
+        n_want = float(np.linalg.norm(d_want))
+        assert n_want > 1e-4, f"{name}: torch side never moved ({n_want})"
+        rel = float(np.linalg.norm(d_got - d_want)) / n_want
+        cos = float(np.dot(d_got, d_want) / (np.linalg.norm(d_got) * n_want + 1e-30))
+        assert rel < 0.10, f"{name}: drift relative error {rel:.4f}"
+        assert cos > 0.99, f"{name}: drift cosine {cos:.4f}"
+        assert float(np.max(np.abs(d_got - d_want))) < 5e-3, name
+
+    # the previously-frozen subtrees now TRAIN on both sides, and their
+    # drift vectors must agree: the SAM encoder (pos embed, rel-pos tables,
+    # LNs, qkv) and the full SigLIP tower (token/positional embeddings,
+    # attention, MAP head)
+    check_drift(
+        final["image_encoder"], initial["image_encoder"],
+        convert_sam_encoder(final_sd, 2), convert_sam_encoder(sd, 2),
+        "image_encoder",
+    )
+    check_drift(
+        final["support_branch"]["siglip"], initial["support_branch"]["siglip"],
+        hf_subtree(final_sd), hf_subtree(sd), "siglip_tower",
+    )
+    check_drift(
+        final["mask_decoder"], initial["mask_decoder"],
+        convert_sam_decoder(final_sd), convert_sam_decoder(sd), "mask_decoder",
+    )
+    check_drift(
+        final["support_branch"]["cir_fuse"], initial["support_branch"]["cir_fuse"],
+        convert_cir_fuse(final_sd, "support_branch.cir_fuse"),
+        convert_cir_fuse(sd, "support_branch.cir_fuse"), "cir_fuse",
+    )
+    # IoU head: frozen in the reference config, TRAINING here — prove it
+    # really moved (the unfrozen mode's distinguishing bit)
+    iou_drift = flat(final["mask_decoder"]["iou_prediction_head"]) - flat(
+        initial["mask_decoder"]["iou_prediction_head"]
+    )
+    assert float(np.abs(iou_drift).max()) > 0.0
 
 
 def test_whole_model_export_roundtrip_via_reference_load_path(monkeypatch, tmp_path):
