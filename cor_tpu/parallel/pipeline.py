@@ -125,12 +125,20 @@ def gpipe(
         out = jax.lax.psum(jnp.where(sid == S - 1, out, 0.0), STAGE_AXIS)
         return out
 
-    # Partial-manual shard_map: manual over stage (the ppermute schedule)
-    # and data (per-device microbatch rows); every OTHER mesh axis — `model`
-    # — stays under GSPMD auto-partitioning, so tensor-parallel weight
-    # shardings and activation constraints keep working INSIDE the pipelined
-    # stage body. This is how PP x TP x DP compose over one mesh.
-    manual = frozenset({STAGE_AXIS, DATA_AXIS}) & frozenset(mesh.axis_names)
+    # Partial-manual shard_map when the mesh carries a real tensor-parallel
+    # group: manual over stage (the ppermute schedule) and data (per-device
+    # microbatch rows), while `model` stays a GSPMD auto axis — so
+    # tensor-parallel weight shardings and activation constraints keep
+    # working INSIDE the pipelined stage body. This is how PP x TP x DP
+    # compose over one mesh. With model == 1 the mapping stays fully manual
+    # (identical to the pure-PP path, and eager-callable — partial-manual
+    # shard_map can only infer the auto-axis output sharding under jit).
+    auto = (
+        frozenset({MODEL_AXIS})
+        if dict(mesh.shape).get(MODEL_AXIS, 1) > 1
+        else frozenset()
+    )
+    manual = frozenset(mesh.axis_names) - auto
     if hasattr(jax, "shard_map"):  # jax >= 0.8
         mapped = jax.shard_map(
             per_shard,

@@ -77,6 +77,7 @@ class RetrievalServer:
         self._decode = None
         self._decode_hbm = None
         self._binarize = None  # jitted on first decode
+        self._fused = None  # single-dispatch serving graph (built lazily)
         self._syn_cache: Dict[int, tuple] = {}  # bounded synthetic-query memo
         self._anon_requests = 0  # fallback filename counter for id-less requests
         if self.decode_dir is not None and self.store is None:
@@ -208,6 +209,56 @@ class RetrievalServer:
             b *= 2
         return b
 
+    def _build_fused(self):
+        """ONE device dispatch per serving batch: encode -> sharded scan ->
+        store-indexed decode -> on-device binarize+bit-pack, fused under a
+        single jit (each stage is itself a jitted fn — they inline). The
+        split pipeline paid 3-4 dispatch round trips per batch, which the
+        r5 TCP measurement found to be the dominant per-batch cost once the
+        host work went native (BASELINE.md) — and fewer dispatches is a
+        real win on PCIe hardware too. Available when the store is
+        HBM-resident and rescore is off (the exact rescore stage is a host
+        stage by design, so it splits the graph)."""
+        import jax
+        import jax.numpy as jnp
+
+        k = self.k
+        encode_fn = self.encode_query
+        retrieve_fn = self.engine._retrieve
+        decode_fn = self._decode_hbm
+        quantize = self.engine.quantize
+        bucket = self._bucket
+        _w = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+
+        @jax.jit
+        def fused(params, store_q, store_scales, gal_emb, gal_idx, gal_scales,
+                  imgs, texts, masks):
+            q = encode_fn(params, imgs, texts, masks)  # [Bp, D]
+            extra = (gal_scales,) if quantize else ()
+            scores, idx = retrieve_fn(q, gal_emb, gal_idx, *extra)
+            scores = jnp.where(idx < 0, -jnp.inf, scores)
+            order = jnp.argsort(-scores, axis=1)
+            scores = jnp.take_along_axis(scores, order, axis=1)[:, :k]
+            idx = jnp.take_along_axis(idx, order, axis=1)[:, :k]
+            k_eff = idx.shape[1]  # == k unless the gallery is smaller
+            n = idx.shape[0] * k_eff
+            npad = bucket(n)
+            flat_idx = jnp.clip(idx.reshape(-1), 0, store_q.shape[0] - 1)
+            flat_idx = jnp.concatenate(
+                [flat_idx, jnp.zeros((npad - n,), flat_idx.dtype)]
+            ).astype(jnp.int32)
+            feats = jnp.repeat(q, k_eff, axis=0)
+            feats = jnp.concatenate(
+                [feats, jnp.broadcast_to(feats[:1], (npad - n, feats.shape[1]))]
+            )
+            logits = decode_fn(params, store_q, store_scales, flat_idx, feats)
+            b = (logits[:n] > 0).astype(jnp.uint8)
+            b = b.reshape(*b.shape[:-1], b.shape[-1] // 8, 8)
+            packed = (b * _w).sum(axis=-1).astype(jnp.uint8)
+            return scores, idx, packed  # packed [n, 1, 4g, 4g/8]
+
+        return fused
+
     def _respond_batch(self, requests, assembled, save_masks: bool) -> List[Dict]:
         import jax.numpy as jnp
 
@@ -219,6 +270,36 @@ class RetrievalServer:
         imgs = jnp.asarray(np.stack([r[0] for r in rows]))
         masks = jnp.asarray(np.stack([r[1] for r in rows]))
         texts = jnp.asarray(np.stack([r[2] for r in rows]))
+
+        if self._decode_hbm is not None and not self.engine.rescore:
+            # single-dispatch fast path (see _build_fused)
+            if self._fused is None:
+                self._fused = self._build_fused()
+            g = self.engine.gallery
+            extra = g.scales if self.engine.quantize else jnp.zeros((0,))
+            scores, idx, packed = self._fused(
+                self.params, self._store_q, self._store_scales,
+                g.embeddings, g.indices, extra, imgs, texts, masks,
+            )
+            scores = np.asarray(scores)[:B]
+            idx = np.asarray(idx)[:B]
+            dec = np.unpackbits(np.asarray(packed), axis=-1)  # [Bp*k,1,H,W]
+            dec_masks = dec[: B * self.k, 0].reshape(B, self.k, *dec.shape[2:])
+            resps: List[Dict] = []
+            for b, req in enumerate(requests):
+                resp = {
+                    "id": req.get("id"),
+                    "results": [
+                        {"pair_id": int(self.pair_ids[i]), "score": float(s)}
+                        for i, s in zip(idx[b], scores[b])
+                    ],
+                }
+                resp["masks"] = self._save_masks(
+                    req.get("id"), idx[b], dec_masks[b], save=save_masks
+                )
+                resps.append(resp)
+            return resps
+
         q = self.encode_query(self.params, imgs, texts, masks)  # [Bp, D]
         scores, idx = self.engine.retrieve(q)
         scores = np.asarray(scores)[:B, : self.k]
