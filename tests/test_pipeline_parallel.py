@@ -362,6 +362,63 @@ def test_pipelined_step_composes_with_grad_accum(key, rng):
         )
 
 
+def test_pipelined_step_composes_with_grad_accum_and_tp(key, rng):
+    """The FULL composition: PP x TP x DP x gradient accumulation in one
+    step on the (data=2, model=2, stage=2) mesh — the grad-accum lax.scan
+    wrapping the pipelined encoder's scan-in-shard_map, with Megatron
+    param shardings active over the auto `model` axis. Matches the
+    sequential replicated grad-accum step on loss and every updated
+    parameter (SGD; dropout keys identical per microbatch)."""
+    from cor_tpu.models.core_model import init_core_model
+    from cor_tpu.parallel import set_activation_mesh, shard_batch, shard_params
+    from cor_tpu.train.optim import make_optimizer
+    from cor_tpu.train.step import create_train_state, make_train_step
+    from tests.helpers import tiny_batch, tiny_core_config
+
+    mesh = make_mesh(data=2, model=2, stage=2)
+    cfg_seq = tiny_core_config(freeze_towers=False, encoder_override=PP_ENCODER)
+    cfg_pp = tiny_core_config(
+        freeze_towers=False,
+        encoder_override=dataclasses.replace(
+            PP_ENCODER, pp_stages=2, pp_microbatches=2, seq_shard=True
+        ),
+    )
+    params = init_core_model(key, cfg_seq)
+    params_host = jax.tree.map(np.asarray, params)
+    fresh = lambda: jax.tree.map(jnp.asarray, params_host)
+    tx, _ = make_optimizer(params, optimizer="SGD", lr=1e-3, freeze_towers=False)
+
+    # B=16: grad_accum=2 -> microbatches of 8, each pipelined in 2 gpipe
+    # microbatches of 4, rows sharded over data=2
+    batch = {k: jnp.asarray(v) for k, v in tiny_batch(rng, batch=16).items()}
+    batch["valid"] = jnp.ones((16,), jnp.float32)
+    rng_key, lr = jax.random.PRNGKey(3), jnp.float32(1e-3)
+
+    seq_state, seq_m = make_train_step(cfg_seq, tx, grad_accum=2)(
+        create_train_state(fresh(), tx), batch, rng_key, lr
+    )
+    set_activation_mesh(mesh)
+    try:
+        pp_state, pp_m = make_train_step(cfg_pp, tx, grad_accum=2)(
+            create_train_state(shard_params(mesh, fresh()), tx),
+            shard_batch(mesh, batch), rng_key, lr,
+        )
+    finally:
+        set_activation_mesh(None)
+
+    np.testing.assert_allclose(
+        float(pp_m["total_loss"]), float(seq_m["total_loss"]), rtol=1e-5
+    )
+    for (kp, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(pp_state.params)[0],
+        jax.tree_util.tree_flatten_with_path(seq_state.params)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-5,
+            err_msg=jax.tree_util.keystr(kp),
+        )
+
+
 def test_trainer_mesh_stage_plumbing(key, rng, tmp_path):
     """TrainConfig.mesh_stage=2 drives the REAL Trainer end-to-end: the
     trainer builds the (data, model, stage) mesh, registers it for the
