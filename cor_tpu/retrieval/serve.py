@@ -227,7 +227,6 @@ class RetrievalServer:
         retrieve_fn = self.engine._retrieve
         decode_fn = self._decode_hbm
         quantize = self.engine.quantize
-        bucket = self._bucket
         _w = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
 
         @jax.jit
@@ -242,7 +241,12 @@ class RetrievalServer:
             idx = jnp.take_along_axis(idx, order, axis=1)[:, :k]
             k_eff = idx.shape[1]  # == k unless the gallery is smaller
             n = idx.shape[0] * k_eff
-            npad = bucket(n)
+            # n is STATIC per Bp bucket (Bp is bucketed upstream), so no
+            # power-of-two rounding is needed to bound compiled shapes —
+            # pad only to the decode kernel's best G=4 candidate grouping.
+            # vs bucket(n): 40 -> 40 instead of 64 at the max_batch=4/k=10
+            # sweet spot (37% less decode work per dispatch).
+            npad = -(-n // 8) * 8
             flat_idx = jnp.clip(idx.reshape(-1), 0, store_q.shape[0] - 1)
             flat_idx = jnp.concatenate(
                 [flat_idx, jnp.zeros((npad - n,), flat_idx.dtype)]
