@@ -534,6 +534,58 @@ def test_retrieval_server_end_to_end(key, tmp_path):
         RetrievalServer(cfg, params, index, k=4, store_hbm=True)
 
 
+def test_retrieval_server_rescore_with_hbm_decode(key, tmp_path):
+    """rescore=True + store_hbm: the exact fp32 second stage is a host stage
+    by design, so this combination takes the SPLIT serving path (the fused
+    single-dispatch graph only covers rescore off) — scores must be TRUE
+    host-fp32 cosines of the returned rows, candidates must match the
+    rescore engine's own retrieve, and the bit-packed HBM decode still
+    writes one valid PNG per candidate."""
+    from PIL import Image
+
+    from cor_tpu.cli.index import build_index
+    from cor_tpu.data.pipeline import DataLoader, SyntheticDataset
+    from cor_tpu.retrieval.index import load_gallery_index, save_gallery_index
+    from cor_tpu.retrieval.serve import RetrievalServer
+
+    cfg = tiny_core_config()
+    params = init_core_model(key, cfg)
+    ds = SyntheticDataset(
+        length=8, query_img_size=64, support_img_size=32,
+        context_length=8, vocab_size=64, seed=5,
+    )
+    emb, ids, store = build_index(
+        cfg, params, DataLoader(ds, batch_size=4), with_store=True
+    )
+    save_gallery_index(tmp_path / "idx", emb, ids, image_embeddings=store)
+    index = load_gallery_index(tmp_path / "idx")
+
+    server = RetrievalServer(
+        cfg, params, index, k=4, decode_dir=str(tmp_path / "pred"),
+        store_hbm=True, rescore=True, quantize=True, approx=True,
+    )
+    assert server.engine.recall_target == 0.999  # rescore-mode default
+    resp = server.handle({"id": 7, "synthetic": 2})
+    assert server._fused is None  # rescore forces the split path
+    assert len(resp["results"]) == 4 and len(resp["masks"]) == 4
+    for p in resp["masks"]:
+        assert set(np.unique(np.asarray(Image.open(p)))).issubset({0, 255})
+    # scores are true fp32 cosines of the returned rows (host second stage)
+    g = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+    s_img, s_mask, text = server._synthetic_query(2)
+    import jax.numpy as jnp2
+
+    q = np.asarray(server.encode_query(
+        params, jnp2.asarray(s_img)[None], jnp2.asarray(text)[None],
+        jnp2.asarray(s_mask)[None],
+    ))[0]
+    q = q / np.linalg.norm(q)
+    pid_to_row = {int(p): i for i, p in enumerate(ids)}
+    for r in resp["results"]:
+        want = float(q @ g[pid_to_row[r["pair_id"]]])
+        np.testing.assert_allclose(r["score"], want, atol=1e-5, rtol=1e-5)
+
+
 def test_retrieval_server_handle_batch(key, tmp_path):
     """Micro-batched serving: handle_batch must return, in order, exactly what
     per-request handle returns (one encode/scan/decode dispatch for the whole
